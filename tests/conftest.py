@@ -1,0 +1,36 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax import.
+
+SURVEY.md §4: multi-device tests without a TPU via
+``--xla_force_host_platform_device_count=8``; exercises sharded train steps,
+psum grad reduction, and per-device batch sharding in CI.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_config():
+    """Each test starts from default global config (module-global like ref)."""
+    from epipolarpose_tpu.config import reset_config
+    reset_config()
+    yield
+    reset_config()
