@@ -16,7 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU PJRT plugin at interpreter start
+# and rewrites jax_platforms to "axon,cpu", overriding the env var — force
+# CPU back on top so unit tests run on the virtual 8-device host mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
