@@ -1,0 +1,73 @@
+"""Integral pose regression: differentiable soft-argmax over joint volumes.
+
+Reference: ``softmax_integral_tensor`` (integral-human-pose lineage,
+arXiv:1711.08229 §3 — SURVEY.md §3.3 [M]). The network's final conv emits
+``J*D`` channels reshaped per joint into a (D, H, W) volume; softmax over the
+flattened volume, then the expectation over x/y/z index grids gives
+continuous sub-pixel coordinates, normalized to [-0.5, 0.5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def softmax_integral(logits, num_joints: int, depth_dim: int = 1):
+    """Soft-argmax decode of volumetric heatmap logits.
+
+    logits: (..., H, W, J*D) NHWC as emitted by the model's final conv.
+    Returns normalized coords (..., J, 3) in [-0.5, 0.5): (x, y, z).
+    For depth_dim == 1 the z output is identically 0 (2D integral mode).
+    """
+    H, W = logits.shape[-3], logits.shape[-2]
+    D = depth_dim
+    lead = logits.shape[:-3]
+    # (..., H, W, J, D) -> (..., J, D, H, W)
+    vol = logits.reshape(lead + (H, W, num_joints, D))
+    vol = jnp.moveaxis(vol, (-2, -1), (-4, -3))
+    flat = vol.reshape(lead + (num_joints, D * H * W))
+    p = jnp.exp(flat - jnp.max(flat, axis=-1, keepdims=True))
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = p.reshape(lead + (num_joints, D, H, W))
+
+    px = p.sum(axis=(-3, -2))                       # (..., J, W)
+    py = p.sum(axis=(-3, -1))                       # (..., J, H)
+    pz = p.sum(axis=(-2, -1))                       # (..., J, D)
+    x = (px * jnp.arange(W, dtype=p.dtype)).sum(axis=-1) / W - 0.5
+    y = (py * jnp.arange(H, dtype=p.dtype)).sum(axis=-1) / H - 0.5
+    z = (pz * jnp.arange(D, dtype=p.dtype)).sum(axis=-1) / D - 0.5
+    if D == 1:
+        z = jnp.zeros_like(z)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def generate_integral_target(joints_img, joints_vis, image_size,
+                             depth_bound: float | None = None,
+                             joints_depth=None):
+    """Normalized integral regression targets + per-joint weights.
+
+    joints_img: (..., J, 2) crop-space pixel coords; joints_depth: (..., J)
+    root-relative depth (same units as ``depth_bound``, e.g. mm) or None for
+    2D mode. Targets are normalized to [-0.5, 0.5) matching
+    :func:`softmax_integral`'s output convention (reference: integral-pose
+    target generation [M]).
+    """
+    if joints_vis.ndim == joints_img.ndim:
+        joints_vis = joints_vis[..., 0]
+    x = joints_img[..., 0] / image_size[0] - 0.5
+    y = joints_img[..., 1] / image_size[1] - 0.5
+    if joints_depth is None or depth_bound is None:
+        z = jnp.zeros_like(x)
+        z_ok = jnp.ones_like(x, dtype=bool)
+    else:
+        z = joints_depth / (2.0 * depth_bound)      # [-bound, bound] -> ±0.5
+        z_ok = jnp.abs(z) <= 0.5
+    inside = ((x >= -0.5) & (x < 0.5) & (y >= -0.5) & (y < 0.5) & z_ok)
+    weight = joints_vis.astype(jnp.float32) * inside.astype(jnp.float32)
+    target = jnp.stack([x, y, z], axis=-1)
+    return target, weight
+
+
+def integral_to_camera_depth(coords, depth_bound: float):
+    """Undo z normalization: normalized z -> root-relative depth units."""
+    return coords[..., 2] * (2.0 * depth_bound)
