@@ -84,6 +84,7 @@ def _default_config() -> ConfigDict:
     c.MODEL.EXTRA.NUM_LAYERS = 50
     # 3D / integral variant (reference gates on these — SURVEY §3.3 [M]):
     c.MODEL.EXTRA.DEPTH_DIM = 1               # >1 => volumetric 3D head
+    c.MODEL.EXTRA.DEPTH_BOUND = 1000.0        # ± mm mapped to z ∈ [-.5, .5)
     c.MODEL.EXTRA.AGGRE = False
 
     # ---------------------------------------------------------------- loss
@@ -159,6 +160,9 @@ def _default_config() -> ConfigDict:
     c.TPU.TRIANGULATION = ConfigDict()
     c.TPU.TRIANGULATION.METHOD = "fast"    # 'fast' | 'eigh' | 'svd'
     c.TPU.TRIANGULATION.CONF_WEIGHT = True
+    # joints whose teacher confidence (min across views) falls below this
+    # produce zero-weight student targets in the self-supervised loop
+    c.TPU.SS_CONF_MIN = 0.05
     return c
 
 

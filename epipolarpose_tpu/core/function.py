@@ -1,0 +1,114 @@
+"""Epoch train / validate loops — the reference's lib/core/function.py shape.
+
+Same observable structure (SURVEY.md §2.A [H]): AverageMeters for batch/data
+time + loss + accuracy, logging every PRINT_FREQ batches, validation that
+accumulates all_preds then defers to ``dataset.evaluate``. The compute
+inside is the jitted fused step from :mod:`epipolarpose_tpu.core.steps`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class AverageMeter:
+    """Running average (reference AverageMeter [H])."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
+
+
+def train(cfg, loader, state, train_step, epoch: int, writer=None):
+    """One training epoch. Returns (state, avg_loss)."""
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    losses, accs = AverageMeter(), AverageMeter()
+    end = time.time()
+    metrics = None
+    for i, batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        n = int(np.asarray(batch["input"].shape[0]))
+        state, metrics = train_step(state, batch)
+        if i % int(cfg.PRINT_FREQ) == 0:
+            # sync only when logging so the device pipeline stays full
+            loss_v = float(metrics["loss"])
+            losses.update(loss_v, n)
+            if "acc" in metrics:
+                accs.update(float(metrics["acc"]), n)
+            batch_time.update(time.time() - end)
+            speed = n / max(batch_time.val, 1e-9)
+            msg = (f"Epoch: [{epoch}][{i}]\t"
+                   f"Time {batch_time.val:.3f}s ({speed:.1f} samples/s)\t"
+                   f"Data {data_time.val:.3f}s\t"
+                   f"Loss {losses.val:.5f} ({losses.avg:.5f})")
+            if "acc" in metrics:
+                msg += f"\tAccuracy {accs.val:.3f} ({accs.avg:.3f})"
+            logger.info(msg)
+            if writer is not None:
+                writer.write_scalars(int(state.step), {
+                    "train/loss": loss_v,
+                    **({"train/acc": float(metrics['acc'])}
+                       if "acc" in metrics else {})})
+        end = time.time()
+    if metrics is not None and losses.count == 0:
+        losses.update(float(metrics["loss"]))
+    return state, losses.avg
+
+
+def validate(cfg, loader, dataset, state, eval_step, writer=None,
+             output_dir=None):
+    """Full validation pass -> dataset.evaluate (reference validate [H]).
+
+    Returns (name_values, perf_indicator).
+    """
+    all_preds = []
+    all_boxes = []
+    n_seen = 0
+    end = time.time()
+    for batch in loader:
+        out = eval_step(state, batch)
+        preds = np.asarray(out["preds"])
+        all_preds.append(preds)
+        c = np.asarray(batch["center"])
+        s = np.asarray(batch["scale"])
+        all_boxes.append(np.concatenate(
+            [c, s, np.prod(s * 200, axis=-1, keepdims=True)], axis=-1))
+        n_seen += preds.shape[0]
+    total = time.time() - end
+    preds = np.concatenate(all_preds)[:len(dataset)]
+    logger.info(f"validate: {n_seen} samples in {total:.1f}s "
+                f"({n_seen / max(total, 1e-9):.1f} samples/s)")
+    name_values, perf = dataset.evaluate(cfg, preds, output_dir)
+    if isinstance(name_values, dict):
+        _print_name_value(name_values, cfg.MODEL.NAME)
+    if writer is not None:
+        writer.write_scalars(int(state.step),
+                             {"valid/perf": float(perf)})
+    return name_values, perf
+
+
+def _print_name_value(name_value: dict, full_arch_name: str):
+    """Reference's markdown metric table logging [H]."""
+    names = list(name_value.keys())
+    values = list(name_value.values())
+    logger.info("| Arch " + " ".join(f"| {n}" for n in names) + " |")
+    logger.info("|---" * (len(names) + 1) + "|")
+    logger.info(f"| {full_arch_name} "
+                + " ".join(f"| {v:.3f}" for v in values) + " |")

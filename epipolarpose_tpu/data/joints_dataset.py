@@ -1,0 +1,153 @@
+"""Base joints dataset: host decode + augment, batched numpy output.
+
+TPU-first re-design of the reference's ``lib/dataset/JointsDataset.py``
+(SURVEY.md §2.A [H]). The reference is a torch map-style Dataset whose
+__getitem__ does decode + affine warp + per-sample Gaussian target
+generation on host workers. Here the host side is deliberately thin:
+
+- host (this module): JPEG decode, augmentation parameter sampling
+  (scale ±SCALE_FACTOR, rot ±ROT_FACTOR with the reference's 60% gate,
+  horizontal flip), cv2.warpAffine crop to IMAGE_SIZE, joint transform.
+- device (ops/): normalization, Gaussian/integral target generation and
+  everything differentiable happen INSIDE the jitted train step.
+
+Batches are plain dicts of numpy arrays with static shapes, produced by a
+thread pool (cv2/numpy release the GIL — the analogue of the reference's
+DataLoader(num_workers=WORKERS)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Sequence
+
+import numpy as np
+
+# ImageNet mean/std, the reference's torchvision Normalize constants [H]
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass
+class JointsRecord:
+    """One sample: image reference + person box + annotated joints."""
+
+    image: str                       # path or zip@/inner path
+    center: np.ndarray               # (2,)
+    scale: np.ndarray                # (2,) in 200px units
+    joints: np.ndarray               # (J, 2) image-space pixels
+    joints_vis: np.ndarray           # (J,)
+    joints_3d: np.ndarray | None = None   # (J, 3) camera/world frame (mm)
+    meta: dict | None = None
+
+
+class JointsDataset:
+    """Batched host pipeline over a list of :class:`JointsRecord`."""
+
+    # subclasses set these (reference per-dataset attributes [H])
+    flip_pairs: Sequence[tuple[int, int]] = ()
+    parent_ids: Sequence[int] = ()
+
+    def __init__(self, cfg, records: list[JointsRecord], is_train: bool,
+                 workers: int | None = None):
+        self.cfg = cfg
+        self.records = records
+        self.is_train = is_train
+        self.image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
+        self.num_joints = int(cfg.MODEL.NUM_JOINTS)
+        self.scale_factor = float(cfg.DATASET.SCALE_FACTOR)
+        self.rot_factor = float(cfg.DATASET.ROT_FACTOR)
+        self.flip = bool(cfg.DATASET.FLIP)
+        self.pool = ThreadPoolExecutor(
+            max_workers=workers or int(cfg.WORKERS) or 1)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    # -------------------------------------------------------------- loading
+    def _read_image(self, path: str) -> np.ndarray:
+        from epipolarpose_tpu.data.zipreader import imread
+        return imread(path, rgb=True)
+
+    def _augment_params(self, rng: np.random.Generator):
+        """Sample (scale_mult, rot, do_flip) with reference semantics [H]:
+        s *= clip(N(1, sf), 1-sf, 1+sf); r = clip(N(0, 2rf), -2rf, 2rf)
+        with probability 0.6 else 0; flip with p=0.5."""
+        sf, rf = self.scale_factor, self.rot_factor
+        s_mult = float(np.clip(rng.normal(1.0, sf), 1 - sf, 1 + sf))
+        rot = float(np.clip(rng.normal(0.0, 2 * rf), -2 * rf, 2 * rf)) \
+            if rng.uniform() <= 0.6 else 0.0
+        do_flip = self.flip and rng.uniform() <= 0.5
+        return s_mult, rot, do_flip
+
+    def _load_one(self, idx: int, seed: int):
+        import cv2
+        from epipolarpose_tpu.geometry import affine as A
+        import numpy as np
+
+        rec = self.records[idx]
+        img = self._read_image(rec.image).astype(np.float32) / 255.0
+        joints = rec.joints.copy().astype(np.float32)
+        vis = rec.joints_vis.copy().astype(np.float32)
+        center = rec.center.astype(np.float32).copy()
+        scale = rec.scale.astype(np.float32).copy()
+        rot = 0.0
+
+        if self.is_train:
+            rng = np.random.default_rng(seed)
+            s_mult, rot, do_flip = self._augment_params(rng)
+            scale = scale * s_mult
+            if do_flip:
+                # reference fliplr_joints semantics, in plain numpy
+                img = np.ascontiguousarray(img[:, ::-1])
+                joints[:, 0] = img.shape[1] - 1 - joints[:, 0]
+                perm = list(range(self.num_joints))
+                for a, b in self.flip_pairs:
+                    if a < self.num_joints and b < self.num_joints:
+                        perm[a], perm[b] = perm[b], perm[a]
+                joints = joints[perm]
+                vis = vis[perm]
+                center[0] = img.shape[1] - center[0] - 1
+
+        M = np.asarray(A.get_affine_transform(center, scale, rot,
+                                              self.image_size))
+        crop = cv2.warpAffine(img, M, self.image_size,
+                              flags=cv2.INTER_LINEAR)
+        joints_crop = joints @ M[:, :2].T + M[:, 2]
+        return dict(
+            input=crop, joints=joints_crop.astype(np.float32),
+            joints_vis=vis, center=center, scale=scale,
+            rotation=np.float32(rot), index=np.int64(idx))
+
+    def get_batch(self, indices: Sequence[int], seed: int = 0) -> dict:
+        """Decode + augment ``indices`` in parallel; stack into one dict."""
+        outs = list(self.pool.map(
+            lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
+            enumerate(indices)))
+        batch = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+        if self.records[indices[0]].joints_3d is not None:
+            batch["joints_3d"] = np.stack(
+                [self.records[i].joints_3d for i in indices]).astype(
+                    np.float32)
+        return batch
+
+    # ------------------------------------------------------------- epochs
+    def batches(self, batch_size: int, seed: int = 0, shuffle: bool | None
+                = None, drop_last: bool = True):
+        """Yield batches for one epoch (static batch shapes; the remainder
+        is dropped like the reference's drop_last training loader)."""
+        n = len(self.records)
+        order = np.arange(n)
+        if shuffle if shuffle is not None else self.is_train:
+            np.random.default_rng(seed).shuffle(order)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            idx = order[i:i + batch_size]
+            if len(idx) < batch_size:            # pad the eval remainder
+                idx = np.concatenate(
+                    [idx, np.full(batch_size - len(idx), idx[-1])])
+            yield self.get_batch(idx.tolist(), seed=seed + i)
+
+    def evaluate(self, cfg, preds, output_dir=None, **kwargs):
+        raise NotImplementedError

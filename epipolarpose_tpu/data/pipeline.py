@@ -1,0 +1,65 @@
+"""Host->device feeding: background producer + device prefetch.
+
+The reference overlaps host work with GPU compute via DataLoader worker
+processes + pin_memory (SURVEY.md §2.C). The TPU-native equivalent: a
+background thread drains the dataset's batch iterator (whose decode/warp
+already fans out over a thread pool) and `jax.device_put`s ahead of the
+training step, keeping a bounded prefetch queue so the device never waits
+for the host in steady state.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import jax
+
+
+def device_prefetch(batches: Iterator[dict], size: int = 2,
+                    sharding=None) -> Iterator[dict]:
+    """Prefetch ``size`` batches onto device ahead of consumption.
+
+    ``sharding``: optional jax.sharding.Sharding to place batches with
+    (e.g. batch-sharded NamedSharding for data parallelism).
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def put(b):
+        if sharding is not None:
+            return jax.device_put(b, sharding)
+        return jax.device_put(b)
+
+    def producer():
+        try:
+            for b in batches:
+                q.put(put(b))
+        except BaseException as e:          # surface errors to the consumer
+            q.put(e)
+            return
+        q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
+                 prefetch: int = 2, sharding=None,
+                 multiview: bool = False) -> Iterator[dict]:
+    """One epoch of device-resident batches (seeded per epoch)."""
+    if multiview:
+        it = dataset.view_batches(batch_size, seed=epoch,
+                                  shuffle=is_train)
+    else:
+        it = dataset.batches(batch_size, seed=epoch, shuffle=is_train,
+                             drop_last=is_train)
+    return device_prefetch(it, size=prefetch, sharding=sharding)

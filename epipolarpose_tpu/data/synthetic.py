@@ -1,0 +1,205 @@
+"""Synthetic datasets: learnable fake pose data, no files required.
+
+SURVEY.md §4 test strategy: "integration: synthetic-dataset end-to-end
+train-step loss-decreases test; eval-metric pipeline on synthetic GT where
+MPJPE is analytically known". Images are rendered as per-joint Gaussian
+blobs (distinct per-joint intensities over 3 channels), so a heatmap network
+can genuinely learn joint detection from them.
+
+Two flavors:
+- :class:`SyntheticPoseDataset` — single-view, MPII-style (2D training).
+- :class:`SyntheticMultiviewDataset` — an H36M-style 4-camera rig with GT
+  3D joints, camera parameters, and view groups (self-supervised pipeline).
+Also :func:`write_synthetic_mpii` materializes an on-disk MPII-format tree
+to exercise the real file readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from epipolarpose_tpu.data.joints_dataset import JointsDataset, JointsRecord
+from epipolarpose_tpu.geometry.camera import Camera
+
+
+def _render_blobs(joints, shape, num_joints, blob_sigma=4.0):
+    """Render an (H, W, 3) float image with one Gaussian blob per joint.
+
+    Channel weights depend on joint id so joints are distinguishable.
+    """
+    H, W = shape
+    ys = np.arange(H, dtype=np.float32)[:, None]
+    xs = np.arange(W, dtype=np.float32)[None, :]
+    img = np.zeros((H, W, 3), np.float32)
+    for j, (x, y) in enumerate(joints):
+        g = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * blob_sigma ** 2))
+        w = np.array([np.cos(j * 1.3) ** 2, np.sin(j * 0.7) ** 2,
+                      ((j % 4) + 1) / 4.0], np.float32)
+        img += g[..., None] * w
+    return np.clip(img, 0, 1)
+
+
+class SyntheticPoseDataset(JointsDataset):
+    """Single-view synthetic dataset; MPII-compatible surface."""
+
+    flip_pairs = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
+
+    def __init__(self, cfg, num_samples: int = 64, is_train: bool = True,
+                 image_shape=(256, 256), seed: int = 0, **kwargs):
+        self.image_shape = image_shape
+        J = int(cfg.MODEL.NUM_JOINTS)
+        rng = np.random.default_rng(seed)
+        side = float(min(image_shape))
+        margin = 0.31 * side
+        spread = 0.23 * side
+        box_scale = side / 200.0 * 0.9
+        records = []
+        for i in range(num_samples):
+            center = rng.uniform(
+                [margin, margin],
+                [image_shape[1] - margin, image_shape[0] - margin],
+                2).astype(np.float32)
+            joints = (center + rng.uniform(-spread, spread, (J, 2))).astype(
+                np.float32)
+            records.append(JointsRecord(
+                image=f"synthetic://{i}", center=center,
+                scale=np.array([box_scale, box_scale], np.float32),
+                joints=joints, joints_vis=np.ones(J, np.float32)))
+        super().__init__(cfg, records, is_train, **kwargs)
+
+    def _read_image(self, path: str) -> np.ndarray:
+        idx = int(path.split("://")[1])
+        rec = self.records[idx]
+        img = _render_blobs(rec.joints, self.image_shape, len(rec.joints))
+        return (img * 255).astype(np.uint8)
+
+    def evaluate(self, cfg, preds, output_dir=None, **kwargs):
+        from epipolarpose_tpu.ops.metrics import pckh
+        import jax.numpy as jnp
+        preds = np.asarray(preds)[..., :2]
+        gts = np.stack([r.joints for r in self.records])[:len(preds)]
+        heads = np.full(len(preds), 30.0, np.float32)
+        per_joint, mean = pckh(jnp.asarray(preds), jnp.asarray(gts),
+                               jnp.asarray(heads))
+        return {"Mean": float(mean)}, float(mean)
+
+
+def make_rig(num_views: int = 4, radius: float = 4500.0,
+             height: float = 1500.0, focal: float = 1145.0,
+             img_size: int = 1000, seed: int = 0):
+    """H36M-like camera rig (mm units), returns list[Camera]."""
+    rng = np.random.default_rng(seed)
+    cams = []
+    for v in range(num_views):
+        ang = 2 * np.pi * v / num_views + rng.uniform(-0.1, 0.1)
+        T = np.array([radius * np.cos(ang), radius * np.sin(ang), height],
+                     np.float32)
+        z = -T / np.linalg.norm(T)
+        up = np.array([0, 0, 1.0], np.float32)
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        cams.append(Camera(
+            R=np.stack([x, y, z]).astype(np.float32), T=T,
+            f=np.array([focal, focal], np.float32),
+            c=np.array([img_size / 2, img_size / 2], np.float32),
+            k=np.array([-0.2, 0.24, -0.002], np.float32),
+            p=np.array([0.001, -0.0005], np.float32)))
+    return cams
+
+
+class SyntheticMultiviewDataset(JointsDataset):
+    """H36M-style synthetic rig: 4 views per time instant, GT 3D joints
+    (world mm), per-view cameras, multi-view groups."""
+
+    flip_pairs = ((1, 4), (2, 5), (3, 6), (11, 14), (12, 15), (13, 16))
+    root_idx = 0
+
+    def __init__(self, cfg, num_frames: int = 16, is_train: bool = True,
+                 image_shape=(256, 256), num_views: int = 4, seed: int = 0,
+                 **kwargs):
+        self.image_shape = image_shape
+        J = int(cfg.MODEL.NUM_JOINTS)
+        rng = np.random.default_rng(seed)
+        self.rig = make_rig(num_views, img_size=image_shape[0] * 4,
+                            seed=seed)
+        records, groups = [], []
+        from epipolarpose_tpu.geometry import project_point_radial
+        for t in range(num_frames):
+            # random "skeleton": joints in a 600mm cube near the origin
+            pose_w = rng.uniform(-400, 400, (J, 3)).astype(np.float32)
+            pose_w[:, 2] += 900.0
+            group = []
+            for v, cam in enumerate(self.rig):
+                px, depth = project_point_radial(pose_w[None], cam)
+                px = np.asarray(px)[0]
+                center = px.mean(axis=0).astype(np.float32)
+                extent = float(np.abs(px - center).max() * 2.4 + 40)
+                from epipolarpose_tpu.geometry import world_to_camera_frame
+                pose_cam = np.asarray(world_to_camera_frame(pose_w[None],
+                                                            cam))[0]
+                group.append(len(records))
+                records.append(JointsRecord(
+                    image=f"synthetic://{t}:{v}", center=center,
+                    scale=np.array([extent / 200, extent / 200], np.float32),
+                    joints=px.astype(np.float32),
+                    joints_vis=np.ones(J, np.float32),
+                    joints_3d=pose_cam.astype(np.float32),
+                    meta={"subject": 1, "action": "Synth", "subaction": 1,
+                          "camera": str(v), "frame": t, "pose_world": pose_w,
+                          "view": v}))
+            groups.append(tuple(group))
+        self.view_groups = groups
+        super().__init__(cfg, records, is_train, **kwargs)
+
+    def _read_image(self, path: str) -> np.ndarray:
+        t, v = map(int, path.split("://")[1].split(":"))
+        rec = self.records[self.view_groups[t][v]]
+        size = self.image_shape[0] * 4
+        img = _render_blobs(rec.joints, (size, size), len(rec.joints),
+                            blob_sigma=float(rec.scale[0] * 200 / 40))
+        return (img * 255).astype(np.uint8)
+
+    def camera_for(self, rec: JointsRecord):
+        return self.rig[int(rec.meta["camera"])]
+
+    # reuse H36M's multi-view batching and evaluation
+    view_batches = None  # set below
+
+    def evaluate(self, cfg, preds, output_dir=None, **kwargs):
+        from epipolarpose_tpu.data.h36m import H36MDataset
+        return H36MDataset.evaluate(self, cfg, preds, output_dir, **kwargs)
+
+
+from epipolarpose_tpu.data.h36m import H36MDataset as _H36M  # noqa: E402
+
+SyntheticMultiviewDataset.view_batches = _H36M.view_batches
+
+
+def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
+                         seed: int = 0) -> None:
+    """Materialize an MPII-format tree (annot json + images) on disk."""
+    import cv2
+    os.makedirs(os.path.join(root, "annot"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    ds = SyntheticPoseDataset(cfg, num_samples, seed=seed)
+    annots = []
+    for i, rec in enumerate(ds.records):
+        name = f"synth_{i:05d}.jpg"
+        img = ds._read_image(rec.image)
+        cv2.imwrite(os.path.join(root, "images", name),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        annots.append({
+            "image": name,
+            # undo the reader's center/scale adjustment so round-trips match
+            "center": [float(rec.center[0]),
+                       float(rec.center[1] - 15 * rec.scale[1] / 1.25)],
+            "scale": float(rec.scale[0] / 1.25),
+            "joints": rec.joints.tolist(),
+            "joints_vis": rec.joints_vis.tolist(),
+        })
+    for split in ("train", "valid"):
+        with open(os.path.join(root, "annot", f"{split}.json"), "w") as f:
+            json.dump(annots, f)

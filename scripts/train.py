@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Training CLI mirroring the reference ``scripts/train.py`` surface.
+
+    python scripts/train.py --cfg experiments/mpii/....yaml
+    python scripts/train.py --cfg ... --synthetic --epochs 2   # data-free
+
+Reference call stack reproduced (SURVEY.md §3.1): config -> logger -> model
+-> criterion(in-step) -> optimizer/schedule -> datasets/loaders -> epoch
+loop of train()+validate() with best-checkpoint tracking; DataParallel is
+replaced by a jax Mesh (data axis) and orbax replaces torch.save.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train pose network (TPU)")
+    p.add_argument("--cfg", required=True, help="experiment yaml")
+    p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (no files needed)")
+    p.add_argument("--samples", type=int, default=256,
+                   help="synthetic dataset size")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override TRAIN.END_EPOCH")
+    p.add_argument("--modelDir", type=str, default=None)
+    p.add_argument("--logDir", type=str, default=None)
+    p.add_argument("--dataDir", type=str, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from epipolarpose_tpu.config import config, update_config, update_dir
+    update_config(args.cfg)
+    update_dir(config, args.modelDir, args.logDir, args.dataDir)
+    if args.workers is not None:
+        config.WORKERS = args.workers
+    if args.epochs is not None:
+        config.TRAIN.END_EPOCH = args.epochs
+    if args.synthetic:
+        config.DATASET.DATASET = (
+            "synthetic_multiview"
+            if config.DATASET.LABEL_SOURCE == "triangulated"
+            else "synthetic")
+
+    import jax
+    import numpy as np
+    from epipolarpose_tpu.core import (
+        CheckpointManager, create_logger, create_metric_writer,
+        create_train_state, make_eval_step, make_train_step, train, validate)
+    from epipolarpose_tpu.data import get_dataset, epoch_loader
+    from epipolarpose_tpu.models import get_model
+    from epipolarpose_tpu.parallel import make_mesh
+
+    logger, output_dir, tb_dir = create_logger(config, args.cfg, "train")
+    logger.info(f"devices: {jax.devices()}")
+    writer = create_metric_writer(tb_dir)
+
+    mesh = make_mesh(config)
+    model = get_model(config, is_train=True)
+
+    ds_kwargs = {"num_samples": args.samples} \
+        if config.DATASET.DATASET == "synthetic" else (
+            {"num_frames": max(args.samples // 4, 4)}
+            if config.DATASET.DATASET == "synthetic_multiview" else {})
+    train_ds = get_dataset(config, config.DATASET.TRAIN_SET, True,
+                           **ds_kwargs)
+    valid_ds = get_dataset(config, config.DATASET.TEST_SET, False,
+                           **ds_kwargs)
+
+    batch_size = int(config.TRAIN.BATCH_SIZE) * mesh.shape["data"]
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    state = create_train_state(config, model, jax.random.PRNGKey(
+        int(config.TPU.SEED)), steps_per_epoch)
+
+    if config.MODEL.PRETRAINED:
+        from epipolarpose_tpu.models import load_torch_checkpoint
+        logger.info(f"loading pretrained {config.MODEL.PRETRAINED}")
+        variables = load_torch_checkpoint(
+            config.MODEL.PRETRAINED, int(config.MODEL.EXTRA.NUM_LAYERS))
+        state = state.replace(params={**state.params,
+                                      **variables["params"]},
+                              batch_stats={**state.batch_stats,
+                                           **variables["batch_stats"]})
+
+    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+    begin_epoch = int(config.TRAIN.BEGIN_EPOCH)
+    if config.TRAIN.RESUME:
+        state, begin_epoch = ckpt.restore(state)
+        logger.info(f"resumed at epoch {begin_epoch}")
+
+    self_supervised = (config.DATASET.LABEL_SOURCE == "triangulated")
+    if self_supervised:
+        from epipolarpose_tpu.core.self_supervised import (
+            make_ss_train_step, load_teacher)
+        teacher = load_teacher(config, state)
+        tstep = make_ss_train_step(config, model, teacher, mesh=mesh)
+    else:
+        tstep = make_train_step(config, model, mesh=mesh)
+    estep = make_eval_step(config, model, mesh=mesh,
+                           flip_pairs=getattr(train_ds, "flip_pairs", ()))
+
+    best_perf = -np.inf
+    for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
+        loader = epoch_loader(train_ds, batch_size, epoch,
+                              multiview=self_supervised,
+                              prefetch=int(config.TPU.PREFETCH))
+        state, avg_loss = train(config, loader, state, tstep, epoch, writer)
+
+        vloader = epoch_loader(valid_ds, int(config.TEST.BATCH_SIZE),
+                               epoch, is_train=False)
+        name_values, perf = validate(config, vloader, valid_ds, state,
+                                     estep, writer, output_dir)
+        is_best = perf > best_perf
+        best_perf = max(best_perf, perf)
+        ckpt.save(int(state.step), state, epoch, float(perf))
+        logger.info(f"epoch {epoch}: loss {avg_loss:.5f} perf {perf:.3f} "
+                    f"best {best_perf:.3f}")
+
+    ckpt.save_final(state)
+    ckpt.wait()
+    ckpt.close()
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Evaluation CLI mirroring the reference ``scripts/valid.py``.
+
+    python scripts/valid.py --cfg experiments/h36m/valid_r50_256_integral.yaml
+    python scripts/valid.py --cfg ... --synthetic          # data-free smoke
+
+Loads TEST.MODEL_FILE (orbax dir or torch .pth.tar) and runs validate() on
+the test split, printing the reference-style metric table (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Validate pose network (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--model-file", default=None,
+                   help="override TEST.MODEL_FILE")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--samples", type=int, default=64)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from epipolarpose_tpu.config import config, update_config
+    update_config(args.cfg)
+    if args.model_file:
+        config.TEST.MODEL_FILE = args.model_file
+    if args.synthetic:
+        config.DATASET.DATASET = "synthetic"
+
+    import jax
+    from epipolarpose_tpu.core import (
+        create_logger, create_train_state, make_eval_step, validate)
+    from epipolarpose_tpu.data import get_dataset, epoch_loader
+    from epipolarpose_tpu.models import get_model, load_torch_checkpoint
+    from epipolarpose_tpu.parallel import make_mesh
+
+    logger, output_dir, _ = create_logger(config, args.cfg, "valid")
+    mesh = make_mesh(config)
+    model = get_model(config, is_train=False)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), 1)
+
+    mf = config.TEST.MODEL_FILE
+    if mf:
+        if mf.endswith((".pth", ".pth.tar")):
+            variables = load_torch_checkpoint(
+                mf, int(config.MODEL.EXTRA.NUM_LAYERS))
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(mf, {"params": state.params,
+                                          "batch_stats": state.batch_stats})
+            state = state.replace(params=restored["params"],
+                                  batch_stats=restored["batch_stats"])
+        logger.info(f"loaded {mf}")
+
+    ds_kwargs = {"num_samples": args.samples} \
+        if config.DATASET.DATASET.startswith("synthetic") else {}
+    ds = get_dataset(config, config.DATASET.TEST_SET, False, **ds_kwargs)
+    estep = make_eval_step(config, model, mesh=mesh,
+                           flip_pairs=getattr(ds, "flip_pairs", ()))
+    loader = epoch_loader(ds, int(config.TEST.BATCH_SIZE), 0,
+                          is_train=False)
+    name_values, perf = validate(config, loader, ds, state, estep,
+                                 output_dir=output_dir)
+    logger.info(f"perf: {perf:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Orbax checkpoint save/restore round-trip (SURVEY §4 integration test)."""
+
+import jax
+import numpy as np
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.core import CheckpointManager, create_train_state
+from epipolarpose_tpu.models import get_model
+
+
+def _tiny_state():
+    cfg = config
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.NUM_JOINTS = 2
+    cfg.MODEL.IMAGE_SIZE = [32, 32]
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [8, 8, 8]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = get_model(cfg)
+    return create_train_state(cfg, model, jax.random.PRNGKey(0),
+                              steps_per_epoch=5)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, state, epoch=0, perf=10.0, wait=True)
+
+    # perturb, then restore into the perturbed template
+    perturbed = state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params))
+    restored, next_epoch = mngr.restore(perturbed)
+    assert next_epoch == 1
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    mngr.close()
+
+
+def test_best_tracking_and_final(tmp_path):
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mngr.save(1, state, epoch=0, perf=10.0)
+    mngr.save(2, state.replace(step=state.step + 1), epoch=1, perf=30.0)
+    mngr.save(3, state.replace(step=state.step + 2), epoch=2, perf=20.0)
+    mngr.wait()
+    assert mngr.best_step == 2
+    path = mngr.save_final(state)
+    import os
+    assert os.path.exists(path)
+    mngr.close()
+
+
+def test_restore_empty_dir(tmp_path):
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "empty"))
+    restored, epoch = mngr.restore(state)
+    assert epoch == 0
+    mngr.close()

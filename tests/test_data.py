@@ -1,0 +1,132 @@
+"""Data layer: synthetic datasets, MPII file round-trip, prefetch, zipreader."""
+
+import os
+import zipfile
+
+import numpy as np
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.data import (
+    MPIIDataset, SyntheticMultiviewDataset, SyntheticPoseDataset,
+    device_prefetch, get_dataset, write_synthetic_mpii,
+)
+from epipolarpose_tpu.data.zipreader import imread, is_zip_path
+
+
+def test_synthetic_batch_shapes():
+    cfg = config
+    ds = SyntheticPoseDataset(cfg, num_samples=8)
+    b = ds.get_batch([0, 1, 2, 3])
+    assert b["input"].shape == (4, 256, 256, 3)
+    assert b["joints"].shape == (4, 16, 2)
+    assert b["joints_vis"].shape == (4, 16)
+    assert b["input"].dtype == np.float32
+    assert 0.0 <= b["input"].min() and b["input"].max() <= 1.0
+
+
+def test_synthetic_joints_land_on_blobs():
+    cfg = config
+    ds = SyntheticPoseDataset(cfg, num_samples=4, is_train=False)
+    b = ds.get_batch([0])
+    img, joints = b["input"][0], b["joints"][0]
+    # crop-space joints inside the crop must sit on bright pixels
+    vals = []
+    for x, y in joints:
+        if 2 <= x < 254 and 2 <= y < 254:
+            vals.append(img[int(round(y)), int(round(x))].sum())
+    assert np.median(vals) > 3 * np.median(img.sum(-1))
+
+
+def test_train_augmentation_varies():
+    cfg = config
+    ds = SyntheticPoseDataset(cfg, num_samples=4, is_train=True)
+    b1 = ds.get_batch([0], seed=1)
+    b2 = ds.get_batch([0], seed=2)
+    assert not np.allclose(b1["input"], b2["input"])
+    # eval mode is deterministic
+    dv = SyntheticPoseDataset(cfg, num_samples=4, is_train=False)
+    e1 = dv.get_batch([0], seed=1)
+    e2 = dv.get_batch([0], seed=2)
+    np.testing.assert_allclose(e1["input"], e2["input"])
+
+
+def test_epoch_batches_and_prefetch():
+    cfg = config
+    ds = SyntheticPoseDataset(cfg, num_samples=10)
+    batches = list(device_prefetch(ds.batches(4, seed=0), size=2))
+    assert len(batches) == 2                       # drop_last
+    assert batches[0]["input"].shape[0] == 4
+    import jax
+    assert isinstance(batches[0]["input"], jax.Array)
+
+
+def test_multiview_dataset_groups():
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = SyntheticMultiviewDataset(cfg, num_frames=3)
+    assert len(ds.view_groups) == 3
+    assert len(ds.records) == 12
+    b = next(ds.view_batches(2, shuffle=False))
+    assert b["input"].shape == (2, 4, 256, 256, 3)
+    assert b["joints_3d"].shape == (2, 4, 17, 3)
+    assert b["camera"].R.shape == (2, 4, 3, 3)
+
+
+def test_multiview_projection_consistency():
+    """The rendered 2D joints must equal the projection of the 3D pose."""
+    from epipolarpose_tpu.geometry import project_point_radial
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = SyntheticMultiviewDataset(cfg, num_frames=2)
+    rec = ds.records[0]
+    cam = ds.camera_for(rec)
+    pose_w = rec.meta["pose_world"]
+    px, _ = project_point_radial(pose_w[None], cam)
+    np.testing.assert_allclose(np.asarray(px)[0], rec.joints, atol=1e-2)
+
+
+def test_mpii_file_roundtrip(tmp_path):
+    cfg = config
+    write_synthetic_mpii(str(tmp_path), cfg, num_samples=4)
+    ds = MPIIDataset(cfg, str(tmp_path), "valid", is_train=False)
+    assert len(ds) == 4
+    b = ds.get_batch([0, 1])
+    assert b["input"].shape == (2, 256, 256, 3)
+    # evaluate with perfect predictions -> 100 PCKh
+    preds = np.stack([r.joints for r in ds.records])
+    name_value, mean = ds.evaluate(cfg, preds)
+    assert mean == 100.0
+    assert name_value["Mean"] == 100.0
+
+
+def test_registry():
+    cfg = config
+    cfg.DATASET.DATASET = "synthetic"
+    ds = get_dataset(cfg, "train", True, num_samples=4)
+    assert isinstance(ds, SyntheticPoseDataset)
+
+
+def test_zipreader(tmp_path):
+    import cv2
+    img = (np.random.default_rng(0).uniform(0, 255, (32, 32, 3))
+           .astype(np.uint8))
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), img)
+    zpath = tmp_path / "a.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(img_path, "sub/img.png")
+    assert is_zip_path(f"{zpath}@/sub/img.png")
+    out = imread(f"{zpath}@/sub/img.png")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("boom")
+
+    it = device_prefetch(gen(), size=1)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)

@@ -1,0 +1,143 @@
+"""Self-supervised pipeline: pseudo-GT quality + end-to-end SS step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.core import create_train_state
+from epipolarpose_tpu.core.self_supervised import (
+    Teacher, generate_pseudo_gt, load_teacher, make_ss_train_step,
+    teacher_detect,
+)
+from epipolarpose_tpu.data import SyntheticMultiviewDataset
+from epipolarpose_tpu.models import get_model
+from epipolarpose_tpu.parallel import make_mesh, shard_batch
+
+
+def _ss_cfg():
+    cfg = config
+    cfg.MODEL.NAME = "pose3d_resnet"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.EXTRA.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
+    cfg.MODEL.EXTRA.TARGET_TYPE = "integral"
+    cfg.MODEL.EXTRA.DEPTH_DIM = 4
+    cfg.LOSS.TYPE = "IntegralL1Loss"
+    cfg.DATASET.LABEL_SOURCE = "triangulated"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_pseudo_gt_from_gt_detections_recovers_3d():
+    """With perfect 2D detections, triangulated pseudo-GT must equal the
+    true 3D pose to sub-mm — isolates the geometry path end-to-end
+    (undistort -> weighted DLT) at H36M scales (mm units)."""
+    cfg = _ss_cfg()
+    ds = SyntheticMultiviewDataset(cfg, num_frames=6, is_train=False)
+    batch = next(ds.view_batches(4, shuffle=False))
+    det = jnp.asarray(batch["joints"]                       # crop coords? no:
+                      if False else
+                      np.stack([[ds.records[i].joints
+                                 for i in g] for g in ds.view_groups[:4]]))
+    conf = jnp.ones(det.shape[:-1], jnp.float32)
+    cam = batch["camera"]
+    X_w, res = generate_pseudo_gt(cfg, det, conf, cam)
+    # compare against world pose stored in the records
+    gt = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
+                   for t in range(4)])
+    err = np.linalg.norm(np.asarray(X_w) - gt, axis=-1)
+    assert err.max() < 1.0, f"max {err.max()} mm"   # sub-mm recovery
+
+
+def test_pseudo_gt_downweights_corrupt_view():
+    cfg = _ss_cfg()
+    ds = SyntheticMultiviewDataset(cfg, num_frames=4, is_train=False)
+    batch = next(ds.view_batches(4, shuffle=False))
+    det = np.stack([[ds.records[i].joints for i in g]
+                    for g in ds.view_groups[:4]])
+    det[:, 0] += 250.0                             # corrupt view 0
+    conf = np.ones(det.shape[:-1], np.float32)
+    conf[:, 0] = 1e-3
+    X_w, _ = generate_pseudo_gt(cfg, jnp.asarray(det), jnp.asarray(conf),
+                                batch["camera"])
+    gt = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
+                   for t in range(4)])
+    err = np.linalg.norm(np.asarray(X_w) - gt, axis=-1)
+    assert err.max() < 10.0, f"max {err.max()} mm"
+
+
+def test_ss_train_step_descends_with_perfect_teacher():
+    """Full SS step with an injected perfect detector: pseudo-GT equals the
+    true pose, and the student loss must descend on it — the complete
+    teacher->triangulate->student program in one jit."""
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=2, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(2, shuffle=False))
+    batch.pop("joints_3d", None)
+    gt_src = jnp.asarray(np.stack(
+        [ds.records[i].joints for g in ds.view_groups[:2] for i in g]))
+
+    def perfect_detect(imgs, centers, scales):
+        return gt_src, jnp.ones(gt_src.shape[:-1], jnp.float32)
+
+    step = make_ss_train_step(cfg, model, teacher, donate=False,
+                              detect_fn=perfect_detect)
+    losses, residuals = [], []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        residuals.append(float(metrics["tri_residual"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert residuals[0] < 1e-3          # perfect detections -> tiny residual
+
+
+def test_ss_train_step_random_teacher_gates_targets():
+    """With a random teacher, confidence/inside gating must zero out the
+    supervision rather than training on garbage."""
+    cfg = _ss_cfg()
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    step = make_ss_train_step(cfg, model, teacher, donate=False)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=2, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(2, shuffle=False))
+    batch.pop("joints_3d", None)
+    state, metrics = step(state, batch)
+    assert float(metrics["loss"]) == 0.0
+    assert float(metrics["teacher_conf"]) < 0.05
+
+
+def test_ss_step_sharded_8_devices():
+    cfg = _ss_cfg()
+    mesh = make_mesh(cfg)
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    step = make_ss_train_step(cfg, model, teacher, mesh=mesh, donate=False)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(8, shuffle=False))
+    batch.pop("joints_3d", None)
+    state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_teacher_detect_shapes():
+    cfg = _ss_cfg()
+    teacher = load_teacher(cfg)
+    imgs = jnp.zeros((4, 64, 64, 3))
+    centers = jnp.full((4, 2), 100.0)
+    scales = jnp.full((4, 2), 1.0)
+    j, c = teacher_detect(cfg, teacher, imgs, centers, scales)
+    assert j.shape == (4, 17, 2)
+    assert c.shape == (4, 17)
