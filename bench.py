@@ -37,7 +37,7 @@ def main():
     from epipolarpose_tpu.core import create_train_state, make_train_step
     from epipolarpose_tpu.models import get_model
 
-    batch_size = 64
+    batch_size = 128
     model = get_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                steps_per_epoch=1000)
@@ -57,18 +57,27 @@ def main():
         "scale": jax.device_put(np.full((batch_size, 2), 1.28, np.float32)),
     }
 
-    # warmup / compile
-    for _ in range(3):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
-    _ = float(metrics["loss"])          # force a real sync through the host
+    # Scan K steps inside one jit: measures pure device throughput, free
+    # of the per-step host dispatch RTT (~25ms through the axon tunnel).
+    # The jitted step inlines when traced inside the scan body; donation
+    # warnings there are harmless.
+    K = 20
 
-    iters = 30
+    @jax.jit
+    def run_k(state):
+        def body(st, _):
+            st, m = step(st, batch)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, None, length=K)
+
+    state, losses = run_k(state)
+    _ = float(losses[-1])               # compile + sync
+    iters = 5
     t0 = time.time()
     for _ in range(iters):
-        state, metrics = step(state, batch)
-    _ = float(metrics["loss"])          # sync once at the end
-    dt = (time.time() - t0) / iters
+        state, losses = run_k(state)
+    _ = float(losses[-1])               # one sync at the end
+    dt = (time.time() - t0) / (iters * K)
     img_s = batch_size / dt
 
     print(json.dumps({

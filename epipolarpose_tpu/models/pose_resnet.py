@@ -47,7 +47,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _norm(train)
+        norm = _norm(train, self.dtype)
         residual = x
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
                     padding=1, use_bias=False, dtype=self.dtype,
@@ -73,7 +73,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _norm(train)
+        norm = _norm(train, self.dtype)
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=_backbone_init)(x)
@@ -96,11 +96,13 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
-def _norm(train: bool):
-    # batch-norm in f32 regardless of compute dtype (stability under bf16)
+def _norm(train: bool, dtype=jnp.bfloat16):
+    # BN follows the compute dtype (params/stats stay f32 in flax); bf16 BN
+    # avoids four extra full-activation HBM passes per block vs f32 BN
+    # (~11% step time) and is standard for TPU ResNet training
     def make(name=None):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32, name=name)
+                            epsilon=1e-5, dtype=dtype, name=name)
     return make
 
 
@@ -125,7 +127,7 @@ class PoseResNet(nn.Module):
         block_cls = BasicBlock if block_name == "basic" else Bottleneck
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
-        norm = _norm(train)
+        norm = _norm(train, self.dtype)
 
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
@@ -161,7 +163,10 @@ class PoseResNet(nn.Module):
         x = nn.Conv(self.num_joints * self.depth_dim, (k, k), padding=pad,
                     dtype=self.dtype, kernel_init=_head_init,
                     name="final_layer")(x)
-        return x.astype(jnp.float32)
+        # keep the native dtype: upcasting the J*D volume here would
+        # materialize it in f32 (1.1 GB for the flagship head at batch 64);
+        # consumers (softmax_integral, losses) upcast inside fused reductions
+        return x
 
 
 def get_pose_net(cfg, is_train: bool = True) -> PoseResNet:

@@ -18,24 +18,31 @@ def softmax_integral(logits, num_joints: int, depth_dim: int = 1):
     logits: (..., H, W, J*D) NHWC as emitted by the model's final conv.
     Returns normalized coords (..., J, 3) in [-0.5, 0.5): (x, y, z).
     For depth_dim == 1 the z output is identically 0 (2D integral mode).
+
+    TPU note: everything reduces IN the native (H, W, J, D) layout — no
+    moveaxis/transpose. For the flagship head that volume is 1.1 GB in f32
+    per batch-64; a layout transpose would cost two full HBM round-trips
+    (plus two more in the backward pass). The expectations are computed as
+    fused weighted reductions over the exp'd volume instead; accumulation
+    is f32 even for bf16 logits.
     """
     H, W = logits.shape[-3], logits.shape[-2]
     D = depth_dim
     lead = logits.shape[:-3]
-    # (..., H, W, J, D) -> (..., J, D, H, W)
     vol = logits.reshape(lead + (H, W, num_joints, D))
-    vol = jnp.moveaxis(vol, (-2, -1), (-4, -3))
-    flat = vol.reshape(lead + (num_joints, D * H * W))
-    p = jnp.exp(flat - jnp.max(flat, axis=-1, keepdims=True))
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    p = p.reshape(lead + (num_joints, D, H, W))
+    m = jnp.max(vol, axis=(-4, -3, -1), keepdims=True)  # per-joint max
+    e = jnp.exp((vol - m).astype(jnp.float32))          # (..., H, W, J, D)
 
-    px = p.sum(axis=(-3, -2))                       # (..., J, W)
-    py = p.sum(axis=(-3, -1))                       # (..., J, H)
-    pz = p.sum(axis=(-2, -1))                       # (..., J, D)
-    x = (px * jnp.arange(W, dtype=p.dtype)).sum(axis=-1) / W - 0.5
-    y = (py * jnp.arange(H, dtype=p.dtype)).sum(axis=-1) / H - 0.5
-    z = (pz * jnp.arange(D, dtype=p.dtype)).sum(axis=-1) / D - 0.5
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    zs = jnp.arange(D, dtype=jnp.float32)
+    Z = jnp.sum(e, axis=(-4, -3, -1))                   # (..., J)
+    ex = jnp.sum(e * xs[:, None, None], axis=(-4, -3, -1))
+    ey = jnp.sum(e * ys[:, None, None, None], axis=(-4, -3, -1))
+    ez = jnp.sum(e * zs, axis=(-4, -3, -1))
+    x = ex / Z / W - 0.5
+    y = ey / Z / H - 0.5
+    z = ez / Z / D - 0.5
     if D == 1:
         z = jnp.zeros_like(z)
     return jnp.stack([x, y, z], axis=-1)

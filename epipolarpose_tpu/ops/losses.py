@@ -19,8 +19,10 @@ def joints_mse_loss(output, target, target_weight=None,
     flattened heatmap and batch, then the mean over joints.
     """
     n, h, w, j = output.shape
-    pred = jnp.moveaxis(output, -1, 1).reshape(n, j, h * w)
-    gt = jnp.moveaxis(target, -1, 1).reshape(n, j, h * w)
+    pred = jnp.moveaxis(output.astype(jnp.float32), -1, 1).reshape(n, j,
+                                                                   h * w)
+    gt = jnp.moveaxis(target.astype(jnp.float32), -1, 1).reshape(n, j,
+                                                                 h * w)
     if use_target_weight and target_weight is not None:
         tw = target_weight[..., None]
         pred = pred * tw
