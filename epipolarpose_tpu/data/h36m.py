@@ -172,4 +172,15 @@ class H36MDataset(JointsDataset):
         name_value["MPJPE"] = mean
         name_value["NMPJPE"] = float(nmpjpe(preds, gts))
         name_value["PA-MPJPE"] = float(pa_mpjpe(preds, gts))
+
+        # PSS@{50,100} — the paper's distribution-aware metric [M]
+        import jax
+        from epipolarpose_tpu.ops.metrics import fit_pss_centers, pss
+        for k in (50, 100):
+            if len(gts) >= 2 * k:
+                centers = fit_pss_centers(jax.random.PRNGKey(0),
+                                          gts.astype(np.float32), k=k)
+                name_value[f"PSS@{k}"] = float(
+                    pss(preds.astype(np.float32), gts.astype(np.float32),
+                        centers))
         return name_value, mean

@@ -1,0 +1,96 @@
+"""Visualization dumps + refiner training tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.core.refine import (
+    create_refiner_state, make_refiner_apply, make_refiner_train_step,
+    synth_noise,
+)
+from epipolarpose_tpu.ops.metrics import mpjpe
+from epipolarpose_tpu.utils import (
+    plot_3d_skeleton, save_batch_heatmaps, save_batch_image_with_joints,
+    save_debug_images,
+)
+
+
+def test_debug_image_dumps(tmp_path, rng):
+    imgs = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    joints = rng.uniform(5, 59, (4, 6, 2)).astype(np.float32)
+    vis = np.ones((4, 6), np.float32)
+    hms = rng.uniform(0, 1, (4, 16, 16, 6)).astype(np.float32)
+
+    f1 = str(tmp_path / "joints.jpg")
+    save_batch_image_with_joints(imgs, joints, vis, f1)
+    assert os.path.getsize(f1) > 0
+
+    f2 = str(tmp_path / "hm.jpg")
+    save_batch_heatmaps(imgs, hms, f2)
+    assert os.path.getsize(f2) > 0
+
+
+def test_save_debug_images_gated(tmp_path, rng):
+    cfg = config
+    batch = {
+        "input": rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32),
+        "joints": rng.uniform(2, 30, (2, 4, 2)).astype(np.float32),
+        "joints_vis": np.ones((2, 4), np.float32),
+    }
+    prefix = str(tmp_path / "dbg")
+    # gated off: nothing written
+    save_debug_images(cfg, batch, None, None, None, prefix)
+    assert not os.path.exists(f"{prefix}_gt.jpg")
+    # on:
+    cfg.DEBUG.DEBUG = True
+    cfg.DEBUG.SAVE_BATCH_IMAGES_GT = True
+    save_debug_images(cfg, batch, None, None, None, prefix)
+    assert os.path.getsize(f"{prefix}_gt.jpg") > 0
+
+
+def test_plot_3d_skeleton(tmp_path, rng):
+    pose = rng.standard_normal((17, 3)).astype(np.float32) * 100
+    f = str(tmp_path / "skel.png")
+    plot_3d_skeleton(pose, f)
+    assert os.path.getsize(f) > 0
+
+
+def test_refiner_reduces_noise():
+    """Training the refiner on structured noise must beat the identity."""
+    J = 17
+    rng = np.random.default_rng(0)
+    poses = rng.uniform(-400, 400, (512, J, 3)).astype(np.float32)
+    poses = poses - poses[:, :1]
+    model, state = create_refiner_state(J, jax.random.PRNGKey(0),
+                                        hidden=128, blocks=1, dropout=0.0)
+    step = make_refiner_train_step(model)
+    apply = make_refiner_apply(model)
+    key = jax.random.PRNGKey(1)
+    for i in range(60):
+        key, k1, k2 = jax.random.split(key, 3)
+        idx = rng.integers(0, 448, 64)
+        gt = jnp.asarray(poses[idx])
+        noisy = synth_noise(k1, gt, sigma_mm=40.0, outlier_prob=0.1)
+        state, loss = step(state, noisy, gt, k2)
+    key, k = jax.random.split(key)
+    val = jnp.asarray(poses[448:])
+    noisy = synth_noise(k, val, sigma_mm=40.0, outlier_prob=0.1)
+    before = float(mpjpe(noisy, val))
+    after = float(mpjpe(apply(state, noisy), val))
+    assert after < before, (before, after)
+
+
+def test_pss_in_h36m_evaluate():
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    from epipolarpose_tpu.data import SyntheticMultiviewDataset
+    ds = SyntheticMultiviewDataset(cfg, num_frames=30, is_train=False)
+    preds = np.stack([r.joints_3d for r in ds.records]).astype(np.float32)
+    preds = preds - preds[:, :1]
+    name_values, mean = ds.evaluate(cfg, preds)
+    assert mean < 1e-3                      # perfect predictions
+    assert "PSS@50" in name_values
+    assert name_values["PSS@50"] == 1.0
