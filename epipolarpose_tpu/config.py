@@ -163,6 +163,12 @@ def _default_config() -> ConfigDict:
     # joints whose teacher confidence (min across views) falls below this
     # produce zero-weight student targets in the self-supervised loop
     c.TPU.SS_CONF_MIN = 0.05
+    # camera knowledge for self-supervision: 'given' uses dataset extrinsics;
+    # 'estimated' recovers the rig from teacher detections via the essential
+    # matrix (paper's calibration-free mode); scale fixed by mean bone
+    # length when SS_BONE_LENGTH_MM > 0, else unit (0,1)-baseline
+    c.TPU.SS_CAMERAS = "given"
+    c.TPU.SS_BONE_LENGTH_MM = 0.0
     return c
 
 

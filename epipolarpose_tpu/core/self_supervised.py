@@ -150,15 +150,34 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         joints_src = jax.lax.stop_gradient(joints_src)
         conf = jax.lax.stop_gradient(conf)
 
-        # 2) triangulate into world-frame pseudo-GT
+        # 2) triangulate into pseudo-GT; 3) project into each view
         cam = batch["camera"]
         det = joints_src.reshape(G, V, num_joints, 2)
-        X_w, res = generate_pseudo_gt(cfg, det, conf.reshape(G, V, -1),
-                                      cam)
-
-        # 3) per-view student targets: project pseudo-GT into each view
-        X_cam = world_to_camera_frame(X_w[:, None], cam)   # (G, V, J, 3)
-        px, _ = project_point_radial(X_w[:, None], cam)    # (G, V, J, 2)
+        if str(cfg.TPU.SS_CAMERAS) == "estimated":
+            # calibration-free: recover the rig from the detections
+            from epipolarpose_tpu.geometry.rig import pseudo_gt_uncalibrated
+            bone_mm = float(cfg.TPU.get("SS_BONE_LENGTH_MM", 0.0))
+            bones = _h36m_bones(num_joints) if bone_mm > 0 else None
+            # all groups share the physical rig; intrinsics from group 0
+            intrinsics = jax.tree.map(lambda x: x[0], cam)
+            X0, P_est = pseudo_gt_uncalibrated(
+                det, intrinsics, conf=conf.reshape(G, V, -1),
+                bone_pairs=bones,
+                bone_length_mm=bone_mm if bone_mm > 0 else None)
+            res = jnp.zeros((G, num_joints), X0.dtype)
+            # X0 is in camera-0 frame; per-view coords via estimated [R|t]
+            Xh = jnp.concatenate([X0, jnp.ones_like(X0[..., :1])], -1)
+            X_cam = jnp.einsum("vij,gnj->gvni", P_est, Xh)
+            z_safe = jnp.where(jnp.abs(X_cam[..., 2:3]) < 1e-6, 1e-6,
+                               X_cam[..., 2:3])
+            xyn = X_cam[..., :2] / z_safe               # normalized coords
+            px = (xyn * intrinsics.f[None, :, None, :]
+                  + intrinsics.c[None, :, None, :])
+        else:
+            X_w, res = generate_pseudo_gt(cfg, det, conf.reshape(G, V, -1),
+                                          cam)
+            X_cam = world_to_camera_frame(X_w[:, None], cam)  # (G, V, J, 3)
+            px, _ = project_point_radial(X_w[:, None], cam)   # (G, V, J, 2)
         M = get_affine_transform(centers, scales, 0.0, image_size)
         xy_crop = affine_transform(flat(px), M[:, None, :, :])
         z_rel = flat(X_cam[..., 2])
@@ -173,6 +192,11 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         target, tw = generate_integral_target(
             xy_crop, vis, image_size, depth_bound=depth_bound,
             joints_depth=z_rel)
+        # degenerate rigs/triangulations can emit nan/inf targets — zero
+        # their weight and sanitize so masking is airtight
+        finite = jnp.all(jnp.isfinite(target), axis=-1)
+        tw = tw * finite.astype(tw.dtype)
+        target = jnp.nan_to_num(target)
         target = jax.lax.stop_gradient(target)
         tw = jax.lax.stop_gradient(tw)
 
@@ -199,6 +223,13 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                                      batch_sharding(mesh)),
                        out_shardings=(replicated(mesh), replicated(mesh)))
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def _h36m_bones(num_joints: int):
+    """Limb pairs used for bone-length scale fixing (H36M 17-joint order)."""
+    pairs = ((1, 2), (2, 3), (4, 5), (5, 6), (11, 12), (12, 13),
+             (14, 15), (15, 16))
+    return [p for p in pairs if p[0] < num_joints and p[1] < num_joints]
 
 
 def make_gt_teacher(num_joints: int):

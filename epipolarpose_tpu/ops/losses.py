@@ -41,7 +41,9 @@ def integral_l1_loss(pred_coords, target_coords, target_weight=None):
     if target_weight is not None:
         if target_weight.ndim == err.ndim - 1:
             target_weight = target_weight[..., None]
-        err = err * target_weight
+        # where() (not multiply) so nan/inf targets under zero weight stay
+        # masked — 0 * nan would poison the loss (degenerate pseudo-GT)
+        err = jnp.where(target_weight > 0, err * target_weight, 0.0)
         denom = jnp.maximum(jnp.sum(jnp.broadcast_to(
             target_weight, err.shape) > 0), 1)
         return jnp.sum(err) / denom

@@ -141,3 +141,45 @@ def test_teacher_detect_shapes():
     j, c = teacher_detect(cfg, teacher, imgs, centers, scales)
     assert j.shape == (4, 17, 2)
     assert c.shape == (4, 17)
+
+
+def test_ss_step_estimated_cameras():
+    """Calibration-free SS step: rig estimated from detections inside the
+    jit; with a perfect detector the student must receive valid targets and
+    descend."""
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CAMERAS = "estimated"
+    cfg.TPU.SS_CONF_MIN = -1.0
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=4, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(4, shuffle=False))
+    batch.pop("joints_3d", None)
+    # undistorted scene for the essential-matrix path
+    import jax as _jax
+    batch["camera"] = _jax.tree.map(lambda x: x, batch["camera"]).replace(
+        k=np.zeros_like(np.asarray(batch["camera"].k)),
+        p=np.zeros_like(np.asarray(batch["camera"].p)))
+    ds.rig = [c.replace(k=np.zeros(3, np.float32),
+                        p=np.zeros(2, np.float32)) for c in ds.rig]
+    gt_src = jnp.asarray(np.stack(
+        [np.asarray(__import__("epipolarpose_tpu.geometry", fromlist=["x"])
+                    .project_point_radial(
+            ds.records[i].meta["pose_world"][None], ds.camera_for(
+                ds.records[i]))[0])[0]
+         for g in ds.view_groups[:4] for i in g]))
+
+    def perfect_detect(imgs, centers, scales):
+        return gt_src, jnp.ones(gt_src.shape[:-1], jnp.float32)
+
+    step = make_ss_train_step(cfg, model, teacher, donate=False,
+                              detect_fn=perfect_detect)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[0] > 0.0          # targets were valid (not all gated off)
+    assert losses[-1] < losses[0], losses
