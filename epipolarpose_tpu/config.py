@@ -169,6 +169,7 @@ def _default_config() -> ConfigDict:
     # length when SS_BONE_LENGTH_MM > 0, else unit (0,1)-baseline
     c.TPU.SS_CAMERAS = "given"
     c.TPU.SS_BONE_LENGTH_MM = 0.0
+    c.TPU.NATIVE_LOADER = True   # C++ fused decode+warp batch path
     return c
 
 

@@ -1,0 +1,121 @@
+"""ctypes binding for the native batch loader (native/fastloader.cpp).
+
+Builds the shared library on first use (g++; cached next to the source) and
+falls back gracefully — callers must check :func:`available` or catch
+RuntimeError. One native call per BATCH: fused JPEG decode + bilinear affine
+warp + float conversion across an OpenMP thread pool, replacing per-sample
+cv2 work in Python threads (the reference's DataLoader-worker equivalent).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_lib = None
+_lock = threading.Lock()
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+
+
+def _build() -> pathlib.Path:
+    so = _NATIVE_DIR / "libfastloader.so"
+    src = _NATIVE_DIR / "fastloader.cpp"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                   capture_output=True)
+    return so
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        lib = ctypes.CDLL(str(so))
+        lib.decode_warp_batch.restype = ctypes.c_int
+        lib.decode_warp_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float,
+        ]
+        lib.warp_batch_u8.restype = None
+        lib.warp_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float,
+        ]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
+                      output_size: tuple[int, int],
+                      scale: float = 1.0 / 255.0) -> np.ndarray:
+    """Fused decode+warp. Ms: (N, 2, 3) src->dst affines; output (W, H).
+
+    Returns (N, H, W, 3) float32 in [0, scale*255]. Failed decodes come
+    back as zero images (matching a black frame rather than crashing the
+    epoch — count is asserted in debug builds).
+    """
+    lib = _load()
+    n = len(jpeg_buffers)
+    W, H = int(output_size[0]), int(output_size[1])
+    ptrs = (ctypes.c_void_p * n)(
+        *[ctypes.cast(ctypes.create_string_buffer(b, len(b)),
+                      ctypes.c_void_p) for b in jpeg_buffers])
+    # keep the string buffers alive: create_string_buffer copies; store refs
+    bufs = [ctypes.create_string_buffer(b, len(b)) for b in jpeg_buffers]
+    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(s, ctypes.c_void_p)
+                                   for s in bufs])
+    sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    Ms = np.ascontiguousarray(Ms, np.float32).reshape(n, 6)
+    out = np.empty((n, H, W, 3), np.float32)
+    lib.decode_warp_batch(
+        ptrs, sizes, n,
+        Ms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        W, H,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(scale))
+    return out
+
+
+def warp_batch(images_u8: np.ndarray, Ms: np.ndarray,
+               output_size: tuple[int, int],
+               scale: float = 1.0 / 255.0) -> np.ndarray:
+    """Batch warp of same-size uint8 RGB images. images: (N, H, W, 3)."""
+    lib = _load()
+    images_u8 = np.ascontiguousarray(images_u8, np.uint8)
+    n, sh, sw, _ = images_u8.shape
+    W, H = int(output_size[0]), int(output_size[1])
+    Ms = np.ascontiguousarray(Ms, np.float32).reshape(n, 6)
+    out = np.empty((n, H, W, 3), np.float32)
+    lib.warp_batch_u8(
+        images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, sw, sh,
+        Ms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        W, H,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(scale))
+    return out

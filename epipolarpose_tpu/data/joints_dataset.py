@@ -121,16 +121,91 @@ class JointsDataset:
             rotation=np.float32(rot), index=np.int64(idx))
 
     def get_batch(self, indices: Sequence[int], seed: int = 0) -> dict:
-        """Decode + augment ``indices`` in parallel; stack into one dict."""
-        outs = list(self.pool.map(
-            lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
-            enumerate(indices)))
-        batch = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+        """Decode + augment ``indices`` in parallel; stack into one dict.
+
+        Fast path: when every sample is a real JPEG on disk/zip and the
+        native loader is built, the whole batch goes through ONE
+        decode+warp+normalize call in C++/OpenMP (native/fastloader.cpp);
+        flip augmentation is applied in crop space (equivalent in
+        distribution to the reference's source-space flip). Otherwise the
+        per-sample cv2 thread-pool path runs (reference-equivalent).
+        """
+        batch = self._get_batch_native(indices, seed)
+        if batch is None:
+            outs = list(self.pool.map(
+                lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
+                enumerate(indices)))
+            batch = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
         if self.records[indices[0]].joints_3d is not None:
             batch["joints_3d"] = np.stack(
                 [self.records[i].joints_3d for i in indices]).astype(
                     np.float32)
         return batch
+
+    def _native_ok(self, indices) -> bool:
+        from epipolarpose_tpu.data import fastloader
+        if not getattr(self.cfg.TPU, "NATIVE_LOADER", True):
+            return False
+        for i in indices:
+            img = self.records[i].image
+            if img.startswith("synthetic://") or not (
+                    img.endswith((".jpg", ".jpeg", ".JPG", ".JPEG"))):
+                return False
+        return fastloader.available()
+
+    def _get_batch_native(self, indices, seed: int):
+        if not self._native_ok(indices):
+            return None
+        from epipolarpose_tpu.data import fastloader
+        from epipolarpose_tpu.data.zipreader import is_zip_path, read_bytes
+        from epipolarpose_tpu.geometry import affine as A
+
+        def read(path):
+            if is_zip_path(path):
+                return read_bytes(path)
+            with open(path, "rb") as f:
+                return f.read()
+
+        recs = [self.records[i] for i in indices]
+        bufs = list(self.pool.map(lambda r: read(r.image), recs))
+
+        n = len(recs)
+        centers = np.stack([r.center for r in recs]).astype(np.float32)
+        scales = np.stack([r.scale for r in recs]).astype(np.float32)
+        joints = np.stack([r.joints for r in recs]).astype(np.float32)
+        vis = np.stack([r.joints_vis for r in recs]).astype(np.float32)
+        rots = np.zeros(n, np.float32)
+        flips = np.zeros(n, bool)
+        if self.is_train:
+            for k in range(n):
+                rng = np.random.default_rng(seed * 1_000_003 + k)
+                s_mult, rot, do_flip = self._augment_params(rng)
+                scales[k] *= s_mult
+                rots[k] = rot
+                flips[k] = do_flip
+
+        M = np.asarray(A.get_affine_transform(centers, scales, rots,
+                                              self.image_size))
+        crops = fastloader.decode_warp_batch(bufs, M, self.image_size)
+        joints_crop = np.einsum("nij,nkj->nki", M[:, :, :2], joints) \
+            + M[:, None, :, 2]
+
+        if flips.any():
+            W = self.image_size[0]
+            perm = list(range(self.num_joints))
+            for a, b in self.flip_pairs:
+                if a < self.num_joints and b < self.num_joints:
+                    perm[a], perm[b] = perm[b], perm[a]
+            fidx = np.where(flips)[0]
+            crops[fidx] = crops[fidx, :, ::-1]
+            joints_crop[fidx, :, 0] = W - 1 - joints_crop[fidx, :, 0]
+            joints_crop[fidx] = joints_crop[fidx][:, perm]
+            vis[fidx] = vis[fidx][:, perm]
+
+        return dict(input=crops, joints=joints_crop.astype(np.float32),
+                    joints_vis=vis, center=centers, scale=scales,
+                    rotation=rots,
+                    index=np.asarray(indices, np.int64))
 
     # ------------------------------------------------------------- epochs
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool | None
