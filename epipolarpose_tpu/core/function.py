@@ -36,7 +36,8 @@ class AverageMeter:
         self.avg = self.sum / self.count if self.count else 0.0
 
 
-def train(cfg, loader, state, train_step, epoch: int, writer=None):
+def train(cfg, loader, state, train_step, epoch: int, writer=None,
+          output_dir=None):
     """One training epoch. Returns (state, avg_loss)."""
     batch_time, data_time = AverageMeter(), AverageMeter()
     losses, accs = AverageMeter(), AverageMeter()
@@ -47,6 +48,14 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None):
         n = int(np.asarray(batch["input"].shape[0]))
         state, metrics = train_step(state, batch)
         if i % int(cfg.PRINT_FREQ) == 0:
+            if cfg.DEBUG.DEBUG and output_dir is not None \
+                    and batch["input"].ndim == 4:
+                from epipolarpose_tpu.utils.vis import save_debug_images
+                save_debug_images(
+                    cfg, {k: np.asarray(v) for k, v in batch.items()
+                          if k in ("input", "joints", "joints_vis")},
+                    None, None, None,
+                    f"{output_dir}/train_{epoch}_{i}")
             # sync only when logging so the device pipeline stays full
             loss_v = float(metrics["loss"])
             losses.update(loss_v, n)

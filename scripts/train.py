@@ -32,6 +32,12 @@ def parse_args():
     p.add_argument("--modelDir", type=str, default=None)
     p.add_argument("--logDir", type=str, default=None)
     p.add_argument("--dataDir", type=str, default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax profiler trace of epoch 0 into "
+                        "LOG_DIR (view with tensorboard)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host pod run: jax.distributed.initialize() "
+                        "from TPU environment variables")
     return p.parse_args()
 
 
@@ -49,6 +55,13 @@ def main():
             "synthetic_multiview"
             if config.DATASET.LABEL_SOURCE == "triangulated"
             else "synthetic")
+
+    if args.distributed:
+        # pod-scale data parallelism (SURVEY §2.C): per-host processes join
+        # over DCN; the mesh below then spans all hosts' devices and the
+        # same sharded train step runs unchanged.
+        import jax
+        jax.distributed.initialize()
 
     import jax
     import numpy as np
@@ -109,10 +122,17 @@ def main():
 
     best_perf = -np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
+        if args.profile and epoch == begin_epoch:
+            jax.profiler.start_trace(tb_dir)
         loader = epoch_loader(train_ds, batch_size, epoch,
                               multiview=self_supervised,
                               prefetch=int(config.TPU.PREFETCH))
-        state, avg_loss = train(config, loader, state, tstep, epoch, writer)
+        state, avg_loss = train(config, loader, state, tstep, epoch, writer,
+                                output_dir)
+        if args.profile and epoch == begin_epoch:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {tb_dir}")
 
         vloader = epoch_loader(valid_ds, int(config.TEST.BATCH_SIZE),
                                epoch, is_train=False)
