@@ -104,6 +104,19 @@ def validate(cfg, loader, dataset, state, eval_step, writer=None,
     preds = np.concatenate(all_preds)[:len(dataset)]
     logger.info(f"validate: {n_seen} samples in {total:.1f}s "
                 f"({n_seen / max(total, 1e-9):.1f} samples/s)")
+    if output_dir:
+        # reference behavior: persist raw predictions next to the metrics
+        # (pred.mat via scipy in the reference; .npz here + .mat when scipy
+        # is present) for offline analysis / MPII test-server submission
+        import os
+        np.savez(os.path.join(output_dir, "pred.npz"), preds=preds,
+                 boxes=np.concatenate(all_boxes)[:len(dataset)])
+        try:
+            from scipy.io import savemat
+            savemat(os.path.join(output_dir, "pred.mat"),
+                    {"preds": preds})
+        except Exception:
+            pass
     name_values, perf = dataset.evaluate(cfg, preds, output_dir)
     if isinstance(name_values, dict):
         _print_name_value(name_values, cfg.MODEL.NAME)

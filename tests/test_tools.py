@@ -1,0 +1,73 @@
+"""tools/prepare_h36m.py conversion logic on fabricated inputs."""
+
+import json
+import subprocess
+import sys
+import pathlib
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT / "tools"))
+
+
+def test_convert_annotations_aliases(tmp_path):
+    from prepare_h36m import convert_annotations
+    raw = [{
+        "img_path": "S1/img_000001.jpg",
+        "c": [500.0, 400.0],
+        "s": 2.1,
+        "joint_img": [[10.0, 20.0, 0.5]] * 17,
+        "joint_cam": [[1.0, 2.0, 3.0]] * 17,
+        "s_id": 1, "act_id": 2, "subact_id": 1, "cam_id": "54138969",
+        "image_id": 7,
+    }]
+    src = tmp_path / "raw.json"
+    src.write_text(json.dumps(raw))
+    out = convert_annotations(str(src))
+    assert len(out) == 1
+    r = out[0]
+    assert r["image"] == "S1/img_000001.jpg"
+    assert r["scale"] == [2.1, 2.1]
+    assert np.asarray(r["joints_2d"]).shape == (17, 2)
+    assert np.asarray(r["joints_3d"]).shape == (17, 3)
+    assert r["camera"] == "54138969" and r["frame"] == 7
+
+
+def test_convert_cameras_h5(tmp_path):
+    import h5py
+    from prepare_h36m import convert_cameras_h5
+    path = tmp_path / "cameras.h5"
+    with h5py.File(path, "w") as f:
+        g = f.create_group("subject1/camera1")
+        g["R"] = np.eye(3)
+        g["T"] = np.array([1.0, 2.0, 3.0])
+        g["f"] = np.array([1100.0, 1101.0])
+        g["c"] = np.array([512.0, 510.0])
+        g["k"] = np.array([-0.2, 0.2, -0.001])
+        g["p"] = np.array([0.001, -0.0005])
+    cams = convert_cameras_h5(str(path))
+    key = next(iter(cams))
+    assert key.startswith("1:")
+    assert np.asarray(cams[key]["R"]).shape == (3, 3)
+    # loads through the real reader
+    from epipolarpose_tpu.data.h36m import load_cameras
+    out = tmp_path / "cameras.json"
+    out.write_text(json.dumps(cams))
+    loaded = load_cameras(str(out))
+    assert np.allclose(loaded[key].f, [1100.0, 1101.0])
+
+
+def test_cli_end_to_end(tmp_path):
+    raw = [{"image": "a.jpg", "center": [1, 2], "scale": 1.0,
+            "joints_2d": [[0, 0]] * 17, "subject": 1, "action": "X",
+            "subaction": 1, "camera": "54138969", "frame": 0}]
+    src = tmp_path / "t.json"
+    src.write_text(json.dumps(raw))
+    out = tmp_path / "annot"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "prepare_h36m.py"),
+         "--train-annot", str(src), "--out", str(out)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (out / "train.json").exists()
