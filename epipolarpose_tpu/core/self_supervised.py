@@ -217,10 +217,9 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
 
     donate_args = (0,) if donate else ()
     if mesh is not None:
-        from epipolarpose_tpu.parallel import batch_sharding, replicated
+        from epipolarpose_tpu.parallel import replicated
         return jax.jit(step, donate_argnums=donate_args,
-                       in_shardings=(replicated(mesh),
-                                     batch_sharding(mesh)),
+                       in_shardings=(replicated(mesh), None),
                        out_shardings=(replicated(mesh), replicated(mesh)))
     return jax.jit(step, donate_argnums=donate_args)
 

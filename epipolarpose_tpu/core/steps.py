@@ -90,10 +90,12 @@ def make_train_step(cfg, model, mesh=None, donate: bool = True):
 
     donate_args = (0,) if donate else ()
     if mesh is not None:
-        from epipolarpose_tpu.parallel import batch_sharding, replicated
+        # state replicated; batch shardings are inherited from the arrays
+        # (shard_batch places them: batch over 'data', image rows over
+        # 'model' when spatial partitioning is on)
+        from epipolarpose_tpu.parallel import replicated
         return jax.jit(step, donate_argnums=donate_args,
-                       in_shardings=(replicated(mesh),
-                                     batch_sharding(mesh)),
+                       in_shardings=(replicated(mesh), None),
                        out_shardings=(replicated(mesh), replicated(mesh)))
     return jax.jit(step, donate_argnums=donate_args)
 
@@ -147,8 +149,7 @@ def make_eval_step(cfg, model, mesh=None, flip_pairs=()):
             [xy_src, z_mm[..., None]], axis=-1), "loss_out": out}
 
     if mesh is not None:
-        from epipolarpose_tpu.parallel import batch_sharding, replicated
-        return jax.jit(step, in_shardings=(replicated(mesh),
-                                           batch_sharding(mesh)),
+        from epipolarpose_tpu.parallel import replicated
+        return jax.jit(step, in_shardings=(replicated(mesh), None),
                        out_shardings=replicated(mesh))
     return jax.jit(step)

@@ -28,6 +28,8 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
     _SENTINEL = object()
 
     def put(b):
+        if callable(sharding):          # e.g. partial(shard_batch, mesh=...)
+            return sharding(b)
         if sharding is not None:
             return jax.device_put(b, sharding)
         return jax.device_put(b)

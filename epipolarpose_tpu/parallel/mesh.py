@@ -31,18 +31,47 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ``data`` + SPATIAL partitioning of image rows over
+    ``model`` when that axis is >1 (the SP analogue for this CNN — SURVEY
+    §2.C: activation sharding for the 384² configs; GSPMD inserts the conv
+    halo exchanges automatically, verified loss-identical in tests)."""
+    if mesh.shape["model"] > 1:
+        return NamedSharding(mesh, P("data", "model", None, None))
+    return NamedSharding(mesh, P("data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_shardings(mesh: Mesh, batch_keys) -> dict:
+    """Per-key shardings for a batch dict: images get spatial sharding."""
+    out = {}
+    for k in batch_keys:
+        out[k] = image_sharding(mesh) if k == "input" \
+            else batch_sharding(mesh)
+    return out
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, sharded over ``data``."""
-    sh = batch_sharding(mesh)
+    """Place a host batch dict onto the mesh, sharded over ``data`` (and
+    image rows over ``model`` when the axis is in use)."""
 
-    def put(x):
+    def put(path, x):
         x = np.asarray(x)
-        spec = P("data") if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] \
-            == 0 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        last = path[-1] if path else None
+        # DictKey has .key; GetAttrKey (flax.struct fields) has .name
+        key = getattr(last, "key", getattr(last, "name", None))
+        if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+            if key == "input" and mesh.shape["model"] > 1:
+                if x.ndim == 4 and x.shape[1] % mesh.shape["model"] == 0:
+                    return jax.device_put(x, image_sharding(mesh))
+                if x.ndim == 5 and x.shape[2] % mesh.shape["model"] == 0:
+                    # multi-view batches: (G, V, H, W, 3) — rows over model
+                    return jax.device_put(x, NamedSharding(
+                        mesh, P("data", None, "model", None, None)))
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(put, batch)
+    return jax.tree_util.tree_map_with_path(put, batch)

@@ -120,13 +120,18 @@ def main():
     estep = make_eval_step(config, model, mesh=mesh,
                            flip_pairs=getattr(train_ds, "flip_pairs", ()))
 
+    import functools
+    from epipolarpose_tpu.parallel import shard_batch
+    place = functools.partial(shard_batch, mesh=mesh)
+
     best_perf = -np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
         if args.profile and epoch == begin_epoch:
             jax.profiler.start_trace(tb_dir)
         loader = epoch_loader(train_ds, batch_size, epoch,
                               multiview=self_supervised,
-                              prefetch=int(config.TPU.PREFETCH))
+                              prefetch=int(config.TPU.PREFETCH),
+                              sharding=place)
         state, avg_loss = train(config, loader, state, tstep, epoch, writer,
                                 output_dir)
         if args.profile and epoch == begin_epoch:
@@ -135,7 +140,7 @@ def main():
             logger.info(f"profiler trace written to {tb_dir}")
 
         vloader = epoch_loader(valid_ds, int(config.TEST.BATCH_SIZE),
-                               epoch, is_train=False)
+                               epoch, is_train=False, sharding=place)
         name_values, perf = validate(config, vloader, valid_ds, state,
                                      estep, writer, output_dir)
         is_best = perf > best_perf

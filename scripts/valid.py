@@ -69,8 +69,11 @@ def main():
     ds = get_dataset(config, config.DATASET.TEST_SET, False, **ds_kwargs)
     estep = make_eval_step(config, model, mesh=mesh,
                            flip_pairs=getattr(ds, "flip_pairs", ()))
+    import functools
+    from epipolarpose_tpu.parallel import shard_batch
     loader = epoch_loader(ds, int(config.TEST.BATCH_SIZE), 0,
-                          is_train=False)
+                          is_train=False,
+                          sharding=functools.partial(shard_batch, mesh=mesh))
     name_values, perf = validate(config, loader, ds, state, estep,
                                  output_dir=output_dir)
     logger.info(f"perf: {perf:.3f}")

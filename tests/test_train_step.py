@@ -180,3 +180,29 @@ def test_lr_schedule():
     np.testing.assert_allclose(float(sched(0)), 0.1)
     np.testing.assert_allclose(float(sched(25)), 0.01, rtol=1e-6)
     np.testing.assert_allclose(float(sched(45)), 0.001, rtol=1e-6)
+
+
+def test_spatial_sharding_matches_single_device():
+    """DP x SP mesh (4x2): image rows sharded over 'model'; GSPMD inserts
+    the conv halo exchanges and the loss must match unsharded exactly."""
+    import jax
+    from jax.sharding import Mesh
+    cfg = _small_cfg("gaussian")
+    cfg.TPU.MESH.DATA = 4
+    cfg.TPU.MESH.MODEL = 2
+    mesh = make_mesh(cfg)
+    assert mesh.shape == {"data": 4, "model": 2}
+    model = get_model(cfg)
+    state_a = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    state_b = jax.tree.map(lambda x: x, state_a)
+    batch = _synthetic_batch(cfg, n=8)
+
+    single = make_train_step(cfg, model, donate=False)
+    state_a, ma = single(state_a, batch)
+
+    sharded = make_train_step(cfg, model, mesh=mesh, donate=False)
+    dev_batch = shard_batch(batch, mesh)
+    assert dev_batch["input"].sharding.spec[1] == "model"
+    state_b, mb = sharded(state_b, dev_batch)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
