@@ -147,3 +147,19 @@ def fit_pss_centers(key, gt_poses, k: int = 50, iters: int = 20):
     """Fit PSS cluster centers on GT poses (k ∈ {50, 100} in the paper)."""
     centers, _ = kmeans(key, _pose_embed(gt_poses), k, iters)
     return centers
+
+
+def pck3d(pred, gt, thresh_mm: float = 150.0):
+    """3D PCK@thresh (MPI-INF-3DHP transfer protocol [L]): fraction of
+    joints within ``thresh_mm`` of GT. pred/gt: (N, J, 3) root-relative mm.
+    """
+    d = jnp.linalg.norm(pred - gt, axis=-1)
+    return 100.0 * jnp.mean((d < thresh_mm).astype(jnp.float32))
+
+
+def auc3d(pred, gt, max_thresh_mm: float = 150.0, steps: int = 30):
+    """Area under the 3D-PCK curve over [0, max_thresh] (3DHP AUC)."""
+    d = jnp.linalg.norm(pred - gt, axis=-1)
+    ts = jnp.linspace(max_thresh_mm / steps, max_thresh_mm, steps)
+    curve = jnp.mean((d[..., None] < ts).astype(jnp.float32), axis=(0, 1))
+    return 100.0 * jnp.mean(curve)

@@ -110,3 +110,15 @@ def test_pss_same_poses_scores_one(rng):
     # heavily corrupted predictions score below 1
     pred = rng.standard_normal((100, 17, 3)).astype(np.float32)
     assert float(pss(pred, gt, centers)) < 0.9
+
+
+def test_pck3d_auc3d(rng):
+    from epipolarpose_tpu.ops.metrics import auc3d, pck3d
+    gt = rng.standard_normal((20, 17, 3)).astype(np.float32) * 100
+    np.testing.assert_allclose(float(pck3d(gt, gt)), 100.0)
+    pred = gt + 100.0  # all joints off by 173mm > 150mm
+    assert float(pck3d(pred, gt)) == 0.0
+    pred2 = gt + 50.0  # ~86.6mm error: inside 150 but partial AUC
+    assert float(pck3d(pred2, gt)) == 100.0
+    a = float(auc3d(pred2, gt))
+    assert 0.0 < a < 100.0
