@@ -11,7 +11,6 @@ from __future__ import annotations
 import logging
 import time
 
-import jax
 import numpy as np
 
 logger = logging.getLogger(__name__)

@@ -26,7 +26,7 @@ future work.)
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +63,6 @@ def load_teacher(cfg, fallback_state=None) -> Teacher:
     randomly — the pipeline still runs end-to-end but pseudo-GT is noise;
     tests use a GT-teacher instead (see make_gt_teacher).
     """
-    import copy
     from epipolarpose_tpu.models import PoseResNet, init_pose_net
 
     extra = cfg.MODEL.EXTRA

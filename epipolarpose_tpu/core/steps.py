@@ -10,9 +10,6 @@ all-reduce (the reference's DataParallel equivalent, SURVEY §2.C).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 

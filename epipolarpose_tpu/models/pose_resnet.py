@@ -4,7 +4,7 @@ TPU-first re-design of the reference's ``lib/models/pose_resnet.py``
 (simple-baselines lineage — SURVEY.md §2.A [H]):
 
 - NHWC layout throughout (TPU-native; the reference is NCHW).
-- bf16 compute / f32 params + f32 batch-norm by default (MXU-friendly).
+- bf16 compute / f32 params (+ f32 BN statistics, kept by flax) by default.
 - identical architecture semantics: ResNet-{18,34,50,101,152} backbone,
   ``NUM_DECONV_LAYERS`` x (ConvTranspose k4 s2 + BN + ReLU) head, then a
   ``FINAL_CONV_KERNEL``-sized conv emitting ``NUM_JOINTS`` channels (2D
@@ -96,6 +96,55 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def conv_transpose_fast(x, kernel, dtype):
+    """ConvTranspose(k4, s2, 'SAME') as ONE dense k2 conv + parity interleave.
+
+    Mathematically identical to flax's ConvTranspose (max diff ~2e-7,
+    pinned in tests) but avoids the input-dilated convolution lowering:
+    flax/XLA computes transposed convs by zero-stuffing the input, which
+    wastes 3/4 of the MXU work; here each output-parity class (oy%2, ox%2)
+    is a standard 2x2/stride-1 conv over the 1-padded input (mapping
+    oy = 2·iy + 2 − ky, recovered in tests), all four fused into one conv
+    with 4x output channels, then interleaved (depth-to-space).
+
+    kernel: (4, 4, Cin, Cout) — the SAME parameter ConvTranspose uses, so
+    checkpoints are interchangeable between the two paths.
+    """
+    N, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    idx = {0: (0, 2), 1: (1, 3)}
+    subs = []
+    for ay in (0, 1):
+        for ax in (0, 1):
+            subs.append(kernel[jnp.asarray(idx[ay])][:, jnp.asarray(idx[ax])])
+    Kcat = jnp.concatenate(subs, axis=-1).astype(dtype)     # (2,2,Cin,4Cout)
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), Kcat, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    outs = []
+    k = 0
+    for ay in (0, 1):
+        for ax in (0, 1):
+            outs.append(y[:, ay:ay + H, ax:ax + W, k * Cout:(k + 1) * Cout])
+            k += 1
+    o = jnp.stack(outs, axis=3).reshape(N, H, W, 2, 2, Cout)
+    return o.transpose(0, 1, 3, 2, 4, 5).reshape(N, 2 * H, 2 * W, Cout)
+
+
+class _FastDeconv(nn.Module):
+    """Parameter-compatible stand-in for ConvTranspose(k4, s2, 'SAME')."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _head_init,
+                            (4, 4, x.shape[-1], self.features))
+        return conv_transpose_fast(x, kernel, self.dtype)
+
+
 def _norm(train: bool, dtype=jnp.bfloat16):
     # BN follows the compute dtype (params/stats stay f32 in flax); bf16 BN
     # avoids four extra full-activation HBM passes per block vs f32 BN
@@ -120,6 +169,12 @@ class PoseResNet(nn.Module):
     deconv_with_bias: bool = False
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # parity-decomposed deconv (same params). MEASURED SLOWER end-to-end
+    # on v5e (1322 vs 1459 img/s flagship train): XLA's input-dilated
+    # lowering is already efficient and the parity interleave costs two
+    # extra HBM passes of the output per deconv. Kept as an option;
+    # checkpoint-interchangeable either way.
+    fast_deconv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,14 +202,21 @@ class PoseResNet(nn.Module):
         # deconv head: k4 s2 x3 (reference _make_deconv_layer [H])
         for i in range(self.num_deconv_layers):
             k = self.num_deconv_kernels[i]
-            # torch's (k=4, s=2, p=1) deconv == flax 'SAME' here: both give
-            # exact 2x upsampling with the same spatial alignment (verified
-            # against the torch oracle in tests/test_models.py)
-            x = nn.ConvTranspose(
-                self.num_deconv_filters[i], (k, k), (2, 2),
-                padding="SAME", use_bias=self.deconv_with_bias,
-                dtype=self.dtype, kernel_init=_head_init,
-                name=f"deconv{i + 1}")(x)
+            filters = self.num_deconv_filters[i]
+            if self.fast_deconv and k == 4 and not self.deconv_with_bias:
+                # identical math + identical parameter tree (see
+                # conv_transpose_fast); avoids the input-dilated conv
+                x = _FastDeconv(filters, self.dtype,
+                                name=f"deconv{i + 1}")(x)
+            else:
+                # torch's (k=4, s=2, p=1) deconv == flax 'SAME' here: both
+                # give exact 2x upsampling with the same spatial alignment
+                # (verified against the torch oracle in tests/test_models.py)
+                x = nn.ConvTranspose(
+                    filters, (k, k), (2, 2),
+                    padding="SAME", use_bias=self.deconv_with_bias,
+                    dtype=self.dtype, kernel_init=_head_init,
+                    name=f"deconv{i + 1}")(x)
             x = norm(name=f"deconv_bn{i + 1}")(x)
             x = nn.relu(x)
 

@@ -160,3 +160,17 @@ def test_r50_bottleneck_shapes():
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 16, 16, 2)
+
+
+def test_fast_deconv_matches_convtranspose(rng):
+    """Parity-decomposed deconv must equal ConvTranspose with the SAME
+    parameter tree (checkpoint-interchangeable)."""
+    kwargs = dict(num_layers=18, num_joints=4, dtype=jnp.float32,
+                  num_deconv_filters=(16, 16, 16))
+    slow = PoseResNet(fast_deconv=False, **kwargs)
+    fast = PoseResNet(fast_deconv=True, **kwargs)
+    params, stats = init_pose_net(slow, jax.random.PRNGKey(0), (64, 64))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    a = slow.apply({"params": params, "batch_stats": stats}, x)
+    b = fast.apply({"params": params, "batch_stats": stats}, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
