@@ -16,6 +16,7 @@ from epipolarpose_tpu.data.h36m import H36MDataset  # noqa: F401
 from epipolarpose_tpu.data.synthetic import (  # noqa: F401
     SyntheticMultiviewDataset,
     SyntheticPoseDataset,
+    write_synthetic_h36m,
     write_synthetic_mpii,
 )
 from epipolarpose_tpu.data.pipeline import (  # noqa: F401

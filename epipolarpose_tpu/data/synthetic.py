@@ -203,3 +203,51 @@ def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
     for split in ("train", "valid"):
         with open(os.path.join(root, "annot", f"{split}.json"), "w") as f:
             json.dump(annots, f)
+
+
+def write_synthetic_h36m(root: str, cfg, num_frames: int = 6,
+                         seed: int = 0) -> None:
+    """Materialize an H36M-format tree (annot jsons + cameras + images,
+    including zip-packed images for the zipreader path)."""
+    import cv2
+    import zipfile
+    os.makedirs(os.path.join(root, "annot"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=num_frames, seed=seed)
+
+    cameras = {}
+    for v, cam in enumerate(ds.rig):
+        cameras[f"1:{v}"] = {
+            "R": np.asarray(cam.R).tolist(), "T": np.asarray(cam.T).tolist(),
+            "f": np.asarray(cam.f).tolist(), "c": np.asarray(cam.c).tolist(),
+            "k": np.asarray(cam.k).tolist(), "p": np.asarray(cam.p).tolist(),
+        }
+    with open(os.path.join(root, "annot", "cameras.json"), "w") as f:
+        json.dump(cameras, f)
+
+    zip_path = os.path.join(root, "images", "S1.zip")
+    annots = []
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for i, rec in enumerate(ds.records):
+            name = f"S1/img_{i:05d}.jpg"
+            img = ds._read_image(rec.image)
+            ok, enc = cv2.imencode(
+                ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 95])
+            z.writestr(name, enc.tobytes())
+            annots.append({
+                "image": f"{zip_path}@/{name}",
+                "center": rec.center.tolist(),
+                "scale": rec.scale.tolist(),
+                "joints_2d": rec.joints.tolist(),
+                "joints_vis": rec.joints_vis.tolist(),
+                "joints_3d": rec.joints_3d.tolist(),
+                "subject": 1,
+                "action": rec.meta["action"],
+                "subaction": rec.meta["subaction"],
+                "camera": rec.meta["camera"],
+                "frame": rec.meta["frame"],
+            })
+    for split in ("train", "valid"):
+        with open(os.path.join(root, "annot", f"{split}.json"), "w") as f:
+            json.dump(annots, f)

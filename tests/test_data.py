@@ -130,3 +130,37 @@ def test_prefetch_propagates_errors():
     import pytest
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_h36m_file_roundtrip(tmp_path):
+    """Full H36M-format on-disk round trip: zip images via zipreader,
+    cameras.json, view groups, multi-view batches, MPJPE evaluation."""
+    from epipolarpose_tpu.data.h36m import H36MDataset
+    from epipolarpose_tpu.data.synthetic import write_synthetic_h36m
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.DATASET.SUBSAMPLE = 1
+    write_synthetic_h36m(str(tmp_path), cfg, num_frames=3)
+    # the synthetic rig uses camera ids '0'..'3'
+    import epipolarpose_tpu.data.h36m as h36m_mod
+    orig = h36m_mod.CAMERA_IDS
+    h36m_mod.CAMERA_IDS = ("0", "1", "2", "3")
+    try:
+        ds = H36MDataset(cfg, str(tmp_path), "valid", is_train=False)
+        assert len(ds) == 12
+        assert len(ds.view_groups) == 3
+        assert len(ds.cameras) == 4
+        b = ds.get_batch([0, 1])
+        assert b["input"].shape == (2, 256, 256, 3)
+        assert b["input"].max() > 0.05          # images decoded from zip
+        mv = next(ds.view_batches(2, shuffle=False))
+        assert mv["input"].shape == (2, 4, 256, 256, 3)
+        assert mv["camera"].R.shape == (2, 4, 3, 3)
+        # perfect predictions -> ~0 MPJPE + per-action table
+        preds = np.stack([r.joints_3d for r in ds.records])
+        preds = preds - preds[:, :1]
+        name_values, mean = ds.evaluate(cfg, preds)
+        assert mean < 1e-3
+        assert "PA-MPJPE" in name_values
+    finally:
+        h36m_mod.CAMERA_IDS = orig
