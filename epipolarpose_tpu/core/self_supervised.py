@@ -116,7 +116,8 @@ def generate_pseudo_gt(cfg, detections, conf, cameras):
 
 
 def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
-                       donate: bool = True, detect_fn=None):
+                       donate: bool = True, detect_fn=None,
+                       flip_pairs=()):
     """Jitted self-supervised step over multi-view batches.
 
     batch: input (G, V, H, W, 3) in [0,1], center/scale (G, V, 2),
@@ -188,6 +189,24 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         # mistriangulated anywhere shouldn't supervise the student
         conf_ok = (conf.reshape(G, V, -1).min(axis=1) > conf_min)
         vis = vis * jnp.repeat(conf_ok.astype(vis.dtype), V, axis=0)
+
+        # dual-crop augmentation: the STUDENT trains on the augmented crop,
+        # with pseudo-GT remapped through the aug affine (+ L/R identity
+        # swap on flipped samples); depth is in-plane-rotation invariant
+        if "input_aug" in batch:
+            imgs = normalize_images(flat(batch["input_aug"]))
+            M_aug = flat(batch["aug_M"])
+            xy_crop = affine_transform(flat(px), M_aug[:, None, :, :])
+            is_flip = flat(batch["aug_flip"])[:, None] > 0.5
+            perm = list(range(num_joints))
+            for a, b in flip_pairs:
+                if a < num_joints and b < num_joints:
+                    perm[a], perm[b] = perm[b], perm[a]
+            perm = jnp.asarray(perm)
+            xy_crop = jnp.where(is_flip[..., None], xy_crop[:, perm],
+                                xy_crop)
+            z_rel = jnp.where(is_flip, z_rel[:, perm], z_rel)
+            vis = jnp.where(is_flip, vis[:, perm], vis)
         target, tw = generate_integral_target(
             xy_crop, vis, image_size, depth_bound=depth_bound,
             joints_depth=z_rel)

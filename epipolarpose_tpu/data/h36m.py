@@ -122,11 +122,19 @@ class H36MDataset(JointsDataset):
 
     # ---------------------------------------------------- multi-view batches
     def view_batches(self, groups_per_batch: int, seed: int = 0,
-                     shuffle: bool | None = None):
+                     shuffle: bool | None = None, augment: bool = False):
         """Yield multi-view batches for self-supervision: dict with
         input (G, V, H, W, 3), centers/scales (G, V, 2), camera pytree with
         leading (G, V) dims — everything the teacher->triangulate->student
-        pipeline needs (SURVEY §3.2)."""
+        pipeline needs (SURVEY §3.2).
+
+        ``augment=True`` additionally emits a SECOND, augmented crop per
+        view (``input_aug``, its source->crop affine ``aug_M`` with random
+        scale/rotation, and ``aug_flip``): the teacher sees the clean crop,
+        the student trains on the augmented one (dual-crop SS — the online
+        equivalent of the reference's offline-pseudo-GT + augmented
+        training).
+        """
         n = len(self.view_groups)
         order = np.arange(n)
         if shuffle if shuffle is not None else self.is_train:
@@ -135,7 +143,14 @@ class H36MDataset(JointsDataset):
         for b in range(0, stop, groups_per_batch):
             gidx = order[b:b + groups_per_batch]
             flat = [i for g in gidx for i in self.view_groups[g]]
-            batch = self.get_batch(flat, seed=seed + b)
+            was_train = self.is_train
+            try:
+                self.is_train = False        # clean crops for the teacher
+                batch = self.get_batch(flat, seed=seed + b)
+            finally:
+                self.is_train = was_train
+            if augment:
+                batch.update(self._augmented_crops(flat, seed=seed + b + 1))
             V = len(CAMERA_IDS)
             out = {k: v.reshape((len(gidx), V) + v.shape[1:])
                    for k, v in batch.items()}
@@ -146,6 +161,37 @@ class H36MDataset(JointsDataset):
                     (len(gidx), V) + np.asarray(x[0]).shape), *cams)
                 out["camera"] = cam
             yield out
+
+    def _augmented_crops(self, indices, seed: int) -> dict:
+        """Second (augmented) crop per sample for dual-crop SS."""
+        import cv2
+        from epipolarpose_tpu.geometry import affine as A
+
+        n = len(indices)
+        crops = np.zeros((n,) + tuple(self.image_size[::-1]) + (3,),
+                         np.float32)
+        Ms = np.zeros((n, 2, 3), np.float32)
+        flips = np.zeros(n, np.float32)
+        for k, idx in enumerate(indices):
+            rec = self.records[idx]
+            rng = np.random.default_rng(seed * 1_000_003 + k)
+            s_mult, rot, do_flip = self._augment_params(rng)
+            img = self._read_image(rec.image).astype(np.float32) / 255.0
+            M = np.asarray(A.get_affine_transform(
+                rec.center, rec.scale * s_mult, rot, self.image_size))
+            if do_flip:
+                # fold the horizontal crop-space flip into the affine:
+                # M_flip = F ∘ M with F: x' = (W-1) - x
+                F = np.array([[-1.0, 0.0, self.image_size[0] - 1.0],
+                              [0.0, 1.0, 0.0]], np.float32)
+                M = np.concatenate(
+                    [F[:, :2] @ M[:, :2],
+                     (F[:, :2] @ M[:, 2] + F[:, 2])[:, None]], axis=1)
+            crops[k] = cv2.warpAffine(img, M, self.image_size,
+                                      flags=cv2.INTER_LINEAR)
+            Ms[k] = M
+            flips[k] = float(do_flip)
+        return {"input_aug": crops, "aug_M": Ms, "aug_flip": flips}
 
     # ------------------------------------------------------------ evaluate
     def evaluate(self, cfg, preds, output_dir=None, **kwargs):

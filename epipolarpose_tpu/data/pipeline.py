@@ -60,7 +60,7 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
     """One epoch of device-resident batches (seeded per epoch)."""
     if multiview:
         it = dataset.view_batches(batch_size, seed=epoch,
-                                  shuffle=is_train)
+                                  shuffle=is_train, augment=is_train)
     else:
         it = dataset.batches(batch_size, seed=epoch, shuffle=is_train,
                              drop_last=is_train)

@@ -176,6 +176,7 @@ class SyntheticMultiviewDataset(JointsDataset):
 from epipolarpose_tpu.data.h36m import H36MDataset as _H36M  # noqa: E402
 
 SyntheticMultiviewDataset.view_batches = _H36M.view_batches
+SyntheticMultiviewDataset._augmented_crops = _H36M._augmented_crops
 
 
 def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,

@@ -114,7 +114,9 @@ def main():
         from epipolarpose_tpu.core.self_supervised import (
             make_ss_train_step, load_teacher)
         teacher = load_teacher(config, state)
-        tstep = make_ss_train_step(config, model, teacher, mesh=mesh)
+        tstep = make_ss_train_step(
+            config, model, teacher, mesh=mesh,
+            flip_pairs=getattr(train_ds, "flip_pairs", ()))
     else:
         tstep = make_train_step(config, model, mesh=mesh)
     estep = make_eval_step(config, model, mesh=mesh,
