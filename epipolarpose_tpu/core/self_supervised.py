@@ -17,11 +17,12 @@ runs data-parallel over a v5e slice"):
 Pseudo-GT never touches the host; the teacher runs on the same device
 inside the same program, so XLA overlaps everything.
 
-Note: multi-view batches are produced WITHOUT rotation/flip augmentation —
-the teacher must see clean crops whose crop->source mapping is the plain
-(center, scale) affine. (The reference sidesteps this by generating
-pseudo-GT offline; an augmented-student/clean-teacher dual-crop variant is
-future work.)
+Augmentation: the TEACHER always sees clean crops (its crop->source mapping
+must be the plain (center, scale) affine). Training loaders additionally
+request dual-crop batches (``view_batches(augment=True)``): a second,
+scale/rotation/flip-augmented crop per view that the STUDENT trains on,
+with pseudo-GT remapped through the augmentation affine — the online
+equivalent of the reference's offline-pseudo-GT + augmented training.
 """
 
 from __future__ import annotations
