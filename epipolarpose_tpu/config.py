@@ -170,6 +170,9 @@ def _default_config() -> ConfigDict:
     c.TPU.SS_CAMERAS = "given"
     c.TPU.SS_BONE_LENGTH_MM = 0.0
     c.TPU.NATIVE_LOADER = True   # C++ fused decode+warp batch path
+    # orbax checkpoint of a trained refinement unit; when set, pseudo-GT is
+    # refined in the SS loop before supervising the student ("SS + R")
+    c.TPU.SS_REFINER = ""
     return c
 
 

@@ -118,7 +118,7 @@ def generate_pseudo_gt(cfg, detections, conf, cameras):
 
 def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                        donate: bool = True, detect_fn=None,
-                       flip_pairs=()):
+                       flip_pairs=(), refiner=None):
     """Jitted self-supervised step over multi-view batches.
 
     batch: input (G, V, H, W, 3) in [0,1], center/scale (G, V, 2),
@@ -127,6 +127,11 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
 
     ``detect_fn(imgs, centers, scales) -> (joints_src, conf)`` overrides the
     teacher (tests inject a perfect detector to isolate the geometry path).
+
+    ``refiner``: optional callable (N, J, 3) -> (N, J, 3) applied to the
+    root-relative triangulated poses before they become student targets —
+    the paper's refinement unit in the loop ("SS + R" rows [M]); build one
+    from a trained checkpoint with :func:`load_refiner`.
     """
     image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
     depth_dim = int(cfg.MODEL.EXTRA.DEPTH_DIM)
@@ -165,6 +170,9 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                 det, intrinsics, conf=conf.reshape(G, V, -1),
                 bone_pairs=bones,
                 bone_length_mm=bone_mm if bone_mm > 0 else None)
+            if refiner is not None:
+                root = X0[:, root_idx:root_idx + 1]
+                X0 = root + jax.lax.stop_gradient(refiner(X0 - root))
             res = jnp.zeros((G, num_joints), X0.dtype)
             # X0 is in camera-0 frame; per-view coords via estimated [R|t]
             Xh = jnp.concatenate([X0, jnp.ones_like(X0[..., :1])], -1)
@@ -177,6 +185,9 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         else:
             X_w, res = generate_pseudo_gt(cfg, det, conf.reshape(G, V, -1),
                                           cam)
+            if refiner is not None:
+                root = X_w[:, root_idx:root_idx + 1]
+                X_w = root + jax.lax.stop_gradient(refiner(X_w - root))
             X_cam = world_to_camera_frame(X_w[:, None], cam)  # (G, V, J, 3)
             px, _ = project_point_radial(X_w[:, None], cam)   # (G, V, J, 2)
         M = get_affine_transform(centers, scales, 0.0, image_size)
@@ -241,6 +252,23 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                        in_shardings=(replicated(mesh), None),
                        out_shardings=(replicated(mesh), replicated(mesh)))
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def load_refiner(cfg, checkpoint_path: str):
+    """Load a trained refinement unit -> callable for make_ss_train_step."""
+    import orbax.checkpoint as ocp
+    from epipolarpose_tpu.core.refine import create_refiner_state, \
+        make_refiner_apply
+    model, state = create_refiner_state(int(cfg.MODEL.NUM_JOINTS),
+                                        jax.random.PRNGKey(0))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(checkpoint_path,
+                             {"params": state.params,
+                              "batch_stats": state.batch_stats})
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"])
+    apply = make_refiner_apply(model)
+    return lambda poses: apply(state, poses)
 
 
 def _h36m_bones(num_joints: int):

@@ -26,8 +26,9 @@ def parse_args():
     p.add_argument("--image", default=None)
     p.add_argument("--model-file", default=None)
     p.add_argument("--out", default="demo_out")
-    p.add_argument("--refine", action="store_true",
-                   help="apply the pose refiner (needs REFINER checkpoint)")
+    p.add_argument("--refiner-file", default=None,
+                   help="orbax checkpoint of a trained refinement unit; "
+                        "applied to the predicted 3D pose")
     return p.parse_args()
 
 
@@ -103,9 +104,11 @@ def main():
 
     if preds.shape[-1] == 3:
         pose3d = preds - preds[:1]
-        if args.refine:
-            print("refiner requested but no refiner checkpoint wiring in "
-                  "demo yet; skipping")
+        if args.refiner_file:
+            from epipolarpose_tpu.core.self_supervised import load_refiner
+            refine = load_refiner(config, args.refiner_file)
+            pose3d = np.asarray(refine(pose3d[None]))[0]
+            print(f"applied refiner {args.refiner_file}")
         plot = os.path.join(args.out, "pose_3d.png")
         plot_3d_skeleton(pose3d, plot, title="predicted 3D pose")
         print(f"wrote {plot}")

@@ -114,8 +114,13 @@ def main():
         from epipolarpose_tpu.core.self_supervised import (
             make_ss_train_step, load_teacher)
         teacher = load_teacher(config, state)
+        refiner = None
+        if config.TPU.SS_REFINER:
+            from epipolarpose_tpu.core.self_supervised import load_refiner
+            refiner = load_refiner(config, config.TPU.SS_REFINER)
+            logger.info(f"refining pseudo-GT with {config.TPU.SS_REFINER}")
         tstep = make_ss_train_step(
-            config, model, teacher, mesh=mesh,
+            config, model, teacher, mesh=mesh, refiner=refiner,
             flip_pairs=getattr(train_ds, "flip_pairs", ()))
     else:
         tstep = make_train_step(config, model, mesh=mesh)

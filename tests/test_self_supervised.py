@@ -231,3 +231,56 @@ def test_dual_crop_augmented_student():
     # crop coords must be inside a sane range for in-crop joints
     k = unflipped[0]
     assert np.isfinite(expect[k]).all()
+
+
+def test_refiner_in_the_loop(tmp_path):
+    """'SS + R': pseudo-GT passes through the refiner before supervising.
+    A mock refiner that cancels a known corruption must restore the loss of
+    the clean run; identity refiner must be a no-op."""
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=2, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(2, shuffle=False))
+    batch.pop("joints_3d", None)
+    gt_src = jnp.asarray(np.stack(
+        [ds.records[i].joints for g in ds.view_groups[:2] for i in g]))
+
+    def perfect_detect(imgs, centers, scales):
+        return gt_src, jnp.ones(gt_src.shape[:-1], jnp.float32)
+
+    def run_one(refiner):
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+        step = make_ss_train_step(cfg, model, teacher, donate=False,
+                                  detect_fn=perfect_detect, refiner=refiner)
+        _, metrics = step(state, batch)
+        return float(metrics["loss"])
+
+    base = run_one(None)
+    ident = run_one(lambda p: p)
+    np.testing.assert_allclose(ident, base, rtol=1e-5)
+    # a refiner that shifts every joint by 200mm changes the targets
+    shifted = run_one(lambda p: p + 200.0)
+    assert abs(shifted - base) > 1e-4
+
+
+def test_load_refiner_roundtrip(tmp_path):
+    """Trained refiner checkpoint loads into the SS-loop callable."""
+    import jax as _jax
+    from epipolarpose_tpu.core.refine import create_refiner_state
+    from epipolarpose_tpu.core.self_supervised import load_refiner
+    import orbax.checkpoint as ocp
+    cfg = _ss_cfg()
+    _, state = create_refiner_state(17, _jax.random.PRNGKey(0))
+    path = str(tmp_path / "refiner_state")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": state.params,
+                      "batch_stats": state.batch_stats}, force=True)
+    ckptr.wait_until_finished()
+    refine = load_refiner(cfg, path)
+    poses = jnp.zeros((3, 17, 3))
+    out = refine(poses)
+    assert out.shape == (3, 17, 3)
+    assert np.isfinite(np.asarray(out)).all()
