@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Offline pseudo-GT generation — the reference's actual SS workflow.
+
+    python scripts/generate_pseudo_gt.py --cfg experiments/h36m/train_ss_r50_256_integral.yaml \
+        [--synthetic] [--out pseudo_gt.json]
+
+Runs the frozen 2D teacher over every multi-view group, triangulates
+(confidence-weighted DLT, or rig-estimated when TPU.SS_CAMERAS=estimated),
+and writes per-record root-relative camera-frame 3D joints to a json that
+can be merged into annot files (``joints_3d`` field). The reference did
+exactly this on host numpy; here the whole sweep is batched jits on device
+(SURVEY §3.2 — judged config 3 at dataset scale).
+
+Also reports pseudo-GT MPJPE against dataset GT when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--groups-per-batch", type=int, default=8)
+    p.add_argument("--out", default="pseudo_gt.json")
+    p.add_argument("--gt-detections", action="store_true",
+                   help="bypass the teacher and triangulate the dataset's "
+                        "GT 2D joints (isolates geometry quality)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from epipolarpose_tpu.config import config, update_config
+    update_config(args.cfg)
+    if args.synthetic:
+        config.DATASET.DATASET = "synthetic_multiview"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from epipolarpose_tpu.core.self_supervised import (
+        generate_pseudo_gt, load_teacher, teacher_detect)
+    from epipolarpose_tpu.core.steps import normalize_images
+    from epipolarpose_tpu.data import get_dataset
+    from epipolarpose_tpu.geometry import world_to_camera_frame
+
+    ds_kwargs = {"num_frames": max(args.samples // 4, 2)} \
+        if config.DATASET.DATASET == "synthetic_multiview" else {}
+    ds = get_dataset(config, config.DATASET.TRAIN_SET, False, **ds_kwargs)
+    teacher = load_teacher(config)
+    num_joints = int(config.MODEL.NUM_JOINTS)
+
+    use_gt = bool(args.gt_detections)
+    gt_src = None
+    if use_gt:
+        gt_src = np.stack([r.joints for r in ds.records]).astype(np.float32)
+
+    @jax.jit
+    def process(batch, det_override=None):
+        G, V = batch["input"].shape[:2]
+        flat = lambda x: x.reshape((G * V,) + x.shape[2:])
+        if det_override is not None:
+            det = det_override
+            conf = jnp.ones(det.shape[:-1], jnp.float32)
+        else:
+            imgs = normalize_images(flat(batch["input"]))
+            det, conf = teacher_detect(config, teacher, imgs,
+                                       flat(batch["center"]),
+                                       flat(batch["scale"]))
+        det = det.reshape(G, V, num_joints, 2)
+        conf = conf.reshape(G, V, num_joints)
+        X_w, res = generate_pseudo_gt(config, det, conf, batch["camera"])
+        X_cam = world_to_camera_frame(X_w[:, None], batch["camera"])
+        return X_w, X_cam, conf.min(axis=1), res
+
+    results = {}
+    errs = []
+    root = 0
+    for batch in ds.view_batches(args.groups_per_batch, shuffle=False):
+        gt3 = batch.pop("joints_3d", None)
+        idx = np.asarray(batch["index"])                  # (G, V)
+        det_override = jnp.asarray(gt_src[idx.reshape(-1)]) if use_gt \
+            else None
+        X_w, X_cam, conf, res = process(batch, det_override)
+        X_cam = np.asarray(X_cam)
+        for g in range(idx.shape[0]):
+            for v in range(idx.shape[1]):
+                rel = X_cam[g, v] - X_cam[g, v, root:root + 1]
+                results[int(idx[g, v])] = {
+                    "joints_3d": X_cam[g, v].tolist(),
+                    "conf": np.asarray(conf)[g].tolist(),
+                    "residual": float(np.asarray(res)[g].mean()),
+                }
+                if gt3 is not None:
+                    gt_rel = gt3[g, v] - gt3[g, v, root:root + 1]
+                    errs.append(np.linalg.norm(rel - gt_rel, axis=-1).mean())
+    with open(args.out, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {args.out}: {len(results)} records")
+    if errs:
+        print(f"pseudo-GT MPJPE vs dataset GT: {np.mean(errs):.2f} mm")
+
+
+if __name__ == "__main__":
+    main()
