@@ -63,7 +63,7 @@ def main():
         import jax
         jax.distributed.initialize()
 
-    import jax
+    import jax  # noqa: F811 (harmless re-import when not distributed)
     import numpy as np
     from epipolarpose_tpu.core import (
         CheckpointManager, create_logger, create_metric_writer,
@@ -150,8 +150,7 @@ def main():
                                epoch, is_train=False, sharding=place)
         name_values, perf = validate(config, vloader, valid_ds, state,
                                      estep, writer, output_dir)
-        is_best = perf > best_perf
-        best_perf = max(best_perf, perf)
+        best_perf = max(best_perf, perf)   # orbax best_fn tracks is_best
         ckpt.save(int(state.step), state, epoch, float(perf))
         logger.info(f"epoch {epoch}: loss {avg_loss:.5f} perf {perf:.3f} "
                     f"best {best_perf:.3f}")
