@@ -18,15 +18,21 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 best_mode: str = "max"):
+        """``best_mode``: 'max' for PCKh-style perf, 'min' for MPJPE —
+        retention must match the dataset's metric direction or orbax keeps
+        the worst checkpoints."""
+        assert best_mode in ("max", "min"), best_mode
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        missing = -np.inf if best_mode == "max" else np.inf
         self._mngr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda m: float(m.get("perf", -np.inf)),
-                best_mode="max",
+                best_fn=lambda m: float(m.get("perf", missing)),
+                best_mode=best_mode,
                 create=True,
             ),
         )

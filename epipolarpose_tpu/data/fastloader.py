@@ -82,9 +82,6 @@ def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
     lib = _load()
     n = len(jpeg_buffers)
     W, H = int(output_size[0]), int(output_size[1])
-    ptrs = (ctypes.c_void_p * n)(
-        *[ctypes.cast(ctypes.create_string_buffer(b, len(b)),
-                      ctypes.c_void_p) for b in jpeg_buffers])
     # keep the string buffers alive: create_string_buffer copies; store refs
     bufs = [ctypes.create_string_buffer(b, len(b)) for b in jpeg_buffers]
     ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(s, ctypes.c_void_p)

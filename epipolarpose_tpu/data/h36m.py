@@ -60,6 +60,7 @@ def load_cameras(path: str) -> dict[str, Camera]:
 class H36MDataset(JointsDataset):
     flip_pairs = FLIP_PAIRS
     root_idx = ROOT_IDX
+    perf_higher_is_better = False   # perf indicator is MPJPE (mm, lower=better)
 
     def __init__(self, cfg, root: str, image_set: str, is_train: bool,
                  **kwargs):
@@ -197,16 +198,25 @@ class H36MDataset(JointsDataset):
     def evaluate(self, cfg, preds, output_dir=None, **kwargs):
         """MPJPE per action + mean; NMPJPE + PA-MPJPE (protocol 2).
 
-        preds: (N, J, 3) root-relative camera-frame mm.
+        preds: (N, J, 3) as emitted by the integral eval step — (x, y) in
+        source-image PIXELS, z in root-relative camera mm. When cameras and
+        absolute-depth GT are available (the real H36M protocol), preds are
+        back-projected to camera-frame mm with the GT root depth
+        (integral-pose eval protocol [M]: undistort -> pixel2cam). Without
+        cameras (legacy/synthetic paths) preds are taken as camera-frame mm
+        directly.
         """
         from epipolarpose_tpu.ops.metrics import mpjpe, nmpjpe, pa_mpjpe
         preds = np.asarray(preds)
+        recs = self.records[:len(preds)]
         gts, actions = [], []
-        for r in self.records[:len(preds)]:
+        for r in recs:
             g = r.joints_3d
             gts.append(g - g[self.root_idx:self.root_idx + 1])
             actions.append((r.meta or {}).get("action", "All"))
         gts = np.stack(gts)
+
+        preds = self._preds_to_camera_mm(preds, recs)
         preds = preds - preds[:, self.root_idx:self.root_idx + 1]
 
         name_value = {}
@@ -230,3 +240,25 @@ class H36MDataset(JointsDataset):
                     pss(preds.astype(np.float32), gts.astype(np.float32),
                         centers))
         return name_value, mean
+
+    def _preds_to_camera_mm(self, preds, recs):
+        """Lift eval-step predictions (x, y px; z rel-mm) to camera mm.
+
+        Uses the GT root depth per the integral-pose protocol; predictions
+        are undistorted before the pinhole back-projection so the camera's
+        radial/tangential model is honored. Falls back to interpreting
+        preds as camera-frame mm when cameras or absolute GT depth are
+        missing (synthetic/legacy data)."""
+        cams = [self.camera_for(r) for r in recs]
+        root_z = np.asarray([r.joints_3d[self.root_idx, 2] for r in recs],
+                            np.float32)
+        if any(c is None for c in cams) or np.median(np.abs(root_z)) < 1.0:
+            return preds
+        import jax
+        import jax.numpy as jnp
+        from epipolarpose_tpu.geometry import pixel2cam, undistort_points
+        cam_b = jax.tree.map(lambda *x: np.stack(x), *cams)
+        px = undistort_points(jnp.asarray(preds[..., :2], jnp.float32),
+                              cam_b)
+        depth = jnp.asarray(preds[..., 2], jnp.float32) + root_z[:, None]
+        return np.asarray(pixel2cam(px, depth, cam_b))

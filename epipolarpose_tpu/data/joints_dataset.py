@@ -48,6 +48,10 @@ class JointsDataset:
     # subclasses set these (reference per-dataset attributes [H])
     flip_pairs: Sequence[tuple[int, int]] = ()
     parent_ids: Sequence[int] = ()
+    # direction of the perf indicator returned by evaluate(): PCKh-style
+    # metrics are higher-is-better; MPJPE-style datasets override to False
+    # so best-checkpoint tracking keeps the right checkpoints.
+    perf_higher_is_better: bool = True
 
     def __init__(self, cfg, records: list[JointsRecord], is_train: bool,
                  workers: int | None = None):

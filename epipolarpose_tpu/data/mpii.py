@@ -50,6 +50,8 @@ class MPIIDataset(JointsDataset):
             if c[0] != -1:
                 c[1] = c[1] + 15 * s[1]
                 s = s * 1.25
+            # reference: MATLAB 1-based index correction [H]
+            c = c - 1
             joints = np.array(a.get("joints", np.zeros((16, 2))), np.float32)
             vis = np.array(a.get("joints_vis", np.ones(16)), np.float32)
             records.append(JointsRecord(
@@ -80,7 +82,11 @@ class MPIIDataset(JointsDataset):
             valid.sum(0) > 0,
             100.0 * ((d <= 0.5) & valid).sum(0) / np.maximum(valid.sum(0), 1),
             0.0)
-        mean = 100.0 * ((d <= 0.5) & valid).sum() / max(valid.sum(), 1)
+        # reference protocol: pelvis (6) and thorax (7) are masked out of
+        # the Mean (PCKh.mask[6:8] in the toolkit) [H]
+        mv = valid.copy()
+        mv[:, 6:8] = False
+        mean = 100.0 * ((d <= 0.5) & mv).sum() / max(mv.sum(), 1)
         name_value = self._name_value(per_joint, mean)
         return name_value, mean
 
@@ -98,7 +104,10 @@ class MPIIDataset(JointsDataset):
         scaled = err / headsize[None, :]
         below = (scaled <= 0.5) * jnt_vis
         per_joint = 100.0 * below.sum(1) / np.maximum(jnt_vis.sum(1), 1)
-        mean = 100.0 * below.sum() / max(jnt_vis.sum(), 1)
+        # Mean masks pelvis/thorax (toolkit PCKh.mask[6:8]) [H]
+        keep = np.ones(below.shape[0], bool)
+        keep[6:8] = False
+        mean = 100.0 * below[keep].sum() / max(jnt_vis[keep].sum(), 1)
         return self._name_value(per_joint, mean), mean
 
     @staticmethod

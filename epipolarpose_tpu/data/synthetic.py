@@ -116,6 +116,7 @@ class SyntheticMultiviewDataset(JointsDataset):
 
     flip_pairs = ((1, 4), (2, 5), (3, 6), (11, 14), (12, 15), (13, 16))
     root_idx = 0
+    perf_higher_is_better = False   # evaluates like H36M (MPJPE)
 
     def __init__(self, cfg, num_frames: int = 16, is_train: bool = True,
                  image_shape=(256, 256), num_views: int = 4, seed: int = 0,
@@ -177,6 +178,7 @@ from epipolarpose_tpu.data.h36m import H36MDataset as _H36M  # noqa: E402
 
 SyntheticMultiviewDataset.view_batches = _H36M.view_batches
 SyntheticMultiviewDataset._augmented_crops = _H36M._augmented_crops
+SyntheticMultiviewDataset._preds_to_camera_mm = _H36M._preds_to_camera_mm
 
 
 def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
@@ -194,9 +196,10 @@ def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         annots.append({
             "image": name,
-            # undo the reader's center/scale adjustment so round-trips match
-            "center": [float(rec.center[0]),
-                       float(rec.center[1] - 15 * rec.scale[1] / 1.25)],
+            # undo the reader's center/scale adjustment (+15s, *1.25, -1)
+            # so round-trips match
+            "center": [float(rec.center[0] + 1),
+                       float(rec.center[1] + 1 - 15 * rec.scale[1] / 1.25)],
             "scale": float(rec.scale[0] / 1.25),
             "joints": rec.joints.tolist(),
             "joints_vis": rec.joints_vis.tolist(),

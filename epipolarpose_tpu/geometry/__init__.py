@@ -18,6 +18,7 @@ from epipolarpose_tpu.geometry.camera import (  # noqa: F401
     Camera,
     camera_to_world_frame,
     normalized_camera_coords,
+    pixel2cam,
     project_point_radial,
     undistort_points,
     world_to_camera_frame,

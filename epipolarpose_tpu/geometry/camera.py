@@ -145,3 +145,18 @@ def undistort_points(pixels, cam: Camera, iters: int = 5):
 def normalized_camera_coords(pixels, cam: Camera):
     """Pixels -> normalized (K^-1) coords, no distortion handling."""
     return (pixels - cam.c[..., None, :]) / cam.f[..., None, :]
+
+
+def pixel2cam(pixels, depth, cam: Camera):
+    """Back-project pixels + absolute depth -> camera-frame 3D points.
+
+    The integral-pose evaluation protocol (reference validate path,
+    SURVEY §3.4 [M]): predicted (x, y) in IDEAL (undistorted) source-image
+    pixels and absolute camera-frame depth are lifted to camera-frame mm
+    via X = (u - cx)/fx * Z, Y = (v - cy)/fy * Z.
+
+    pixels: (..., N, 2); depth: (..., N) absolute camera-frame Z (mm).
+    Returns (..., N, 3).
+    """
+    xy = normalized_camera_coords(pixels, cam) * depth[..., None]
+    return jnp.concatenate([xy, depth[..., None]], axis=-1)

@@ -91,5 +91,10 @@ def pseudo_gt_uncalibrated(detections_px, intrinsics: Camera, conf=None,
         b = jnp.asarray([p[1] for p in bone_pairs])
         lengths = jnp.linalg.norm(X[:, a] - X[:, b], axis=-1)
         s = bone_length_mm / (lengths.mean() + 1e-12)
+        # rescale the WHOLE reconstruction: points AND baselines. Scaling X
+        # alone would break reprojection (R X s + t != s (R X + t)); the
+        # translation column must carry the same factor so per-view
+        # projections — and per-view depths — stay consistent in mm.
         X = X * s
+        P = P.at[:, :, 3].multiply(s)
     return X, P

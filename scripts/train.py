@@ -103,7 +103,10 @@ def main():
                               batch_stats={**state.batch_stats,
                                            **variables["batch_stats"]})
 
-    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+    # metric direction is dataset-defined: PCKh up, MPJPE down
+    higher_better = bool(getattr(valid_ds, "perf_higher_is_better", True))
+    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"),
+                             best_mode="max" if higher_better else "min")
     begin_epoch = int(config.TRAIN.BEGIN_EPOCH)
     if config.TRAIN.RESUME:
         state, begin_epoch = ckpt.restore(state)
@@ -131,7 +134,7 @@ def main():
     from epipolarpose_tpu.parallel import shard_batch
     place = functools.partial(shard_batch, mesh=mesh)
 
-    best_perf = -np.inf
+    best_perf = -np.inf if higher_better else np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
         if args.profile and epoch == begin_epoch:
             jax.profiler.start_trace(tb_dir)
@@ -150,7 +153,7 @@ def main():
                                epoch, is_train=False, sharding=place)
         name_values, perf = validate(config, vloader, valid_ds, state,
                                      estep, writer, output_dir)
-        best_perf = max(best_perf, perf)   # orbax best_fn tracks is_best
+        best_perf = (max if higher_better else min)(best_perf, perf)
         ckpt.save(int(state.step), state, epoch, float(perf))
         logger.info(f"epoch {epoch}: loss {avg_loss:.5f} perf {perf:.3f} "
                     f"best {best_perf:.3f}")

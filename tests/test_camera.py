@@ -1,5 +1,6 @@
 """Camera model tests: projection fixtures, distortion inversion, frames."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from epipolarpose_tpu.geometry import (
@@ -115,3 +116,19 @@ def test_batched_cameras(rng):
     px, d = project_point_radial(P, cams)
     assert np.asarray(px).shape == (4, 7, 2)
     assert np.asarray(d).shape == (4, 7)
+
+
+def test_pixel2cam_inverts_projection(rng):
+    """undistort + pixel2cam must invert project_point_radial given the
+    true depths (the integral-pose H36M eval protocol)."""
+    from epipolarpose_tpu.geometry import (pixel2cam, undistort_points,
+                                           world_to_camera_frame)
+    cam = _random_camera(rng)
+    pts_w = jnp.asarray(rng.uniform(-400, 400, (1, 10, 3)), jnp.float32)
+    pts_w = pts_w + jnp.asarray([0.0, 0.0, 4000.0])
+    px, depth = project_point_radial(pts_w, cam)
+    ideal = undistort_points(px, cam)
+    back = pixel2cam(ideal, depth, cam)
+    gt_cam = world_to_camera_frame(pts_w, cam)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt_cam),
+                               atol=0.5)

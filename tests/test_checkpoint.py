@@ -56,3 +56,16 @@ def test_restore_empty_dir(tmp_path):
     restored, epoch = mngr.restore(state)
     assert epoch == 0
     mngr.close()
+
+
+def test_best_tracking_min_mode(tmp_path):
+    """MPJPE-style metrics (lower=better) must keep the LOWEST-perf step."""
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                             best_mode="min")
+    mngr.save(1, state, epoch=0, perf=60.0)
+    mngr.save(2, state.replace(step=state.step + 1), epoch=1, perf=45.0)
+    mngr.save(3, state.replace(step=state.step + 2), epoch=2, perf=52.0)
+    mngr.wait()
+    assert mngr.best_step == 2
+    mngr.close()

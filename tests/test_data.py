@@ -156,11 +156,16 @@ def test_h36m_file_roundtrip(tmp_path):
         mv = next(ds.view_batches(2, shuffle=False))
         assert mv["input"].shape == (2, 4, 256, 256, 3)
         assert mv["camera"].R.shape == (2, 4, 3, 3)
-        # perfect predictions -> ~0 MPJPE + per-action table
-        preds = np.stack([r.joints_3d for r in ds.records])
-        preds = preds - preds[:, :1]
+        # perfect predictions in the EVAL-STEP's output space — (x, y)
+        # source pixels + root-relative z — must back-project (undistort +
+        # pixel2cam with GT root depth) to ~0 MPJPE + per-action table
+        px = np.stack([r.joints for r in ds.records])
+        z_rel = np.stack([r.joints_3d[:, 2] - r.joints_3d[0, 2]
+                          for r in ds.records])
+        preds = np.concatenate([px, z_rel[..., None]], axis=-1)
         name_values, mean = ds.evaluate(cfg, preds)
-        assert mean < 1e-3
+        assert mean < 1.0, mean      # sub-mm up to undistortion round-trip
         assert "PA-MPJPE" in name_values
+        assert ds.perf_higher_is_better is False
     finally:
         h36m_mod.CAMERA_IDS = orig

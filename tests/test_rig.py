@@ -78,3 +78,32 @@ def test_uncalibrated_bone_length_scale(rng):
     X = np.asarray(X)
     err = np.linalg.norm(X - gt_cam0, axis=-1)
     assert err.max() < 50.0, f"max {err.max()} mm"
+
+
+def test_bone_scale_keeps_reprojection(rng):
+    """Bone-length rescaling must scale points AND baselines together:
+    reprojected pixels are scale-invariant, depths come out in mm."""
+    poses, det, cams, cam_stack = _scene(rng)
+    pairs = [(0, 1), (2, 3), (4, 5)]
+    a = np.array([p[0] for p in pairs]); b = np.array([p[1] for p in pairs])
+    from epipolarpose_tpu.geometry import world_to_camera_frame
+    gt_cam0 = np.asarray(world_to_camera_frame(jnp.asarray(poses), cams[0]))
+    true_len = float(np.linalg.norm(
+        gt_cam0[:, a] - gt_cam0[:, b], axis=-1).mean())
+
+    X1, P1 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack)
+    X2, P2 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack,
+                                    bone_pairs=pairs,
+                                    bone_length_mm=true_len)
+
+    def reproject(X, P):
+        Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], -1)
+        Xc = jnp.einsum("vij,gnj->gvni", P, Xh)
+        return np.asarray(Xc[..., :2] / Xc[..., 2:3]), np.asarray(Xc[..., 2])
+
+    r1, z1 = reproject(X1, P1)
+    r2, z2 = reproject(X2, P2)
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
+    # scaled depths = s * unit-baseline depths, with s = |X2|/|X1|
+    s = float(np.linalg.norm(np.asarray(X2)) / np.linalg.norm(np.asarray(X1)))
+    np.testing.assert_allclose(z2, z1 * s, rtol=1e-5)
