@@ -19,7 +19,8 @@ from epipolarpose_tpu.ops import (
     integral_l1_loss, joints_mse_loss, softmax_integral,
 )
 from epipolarpose_tpu.ops.heatmap import get_final_preds
-from epipolarpose_tpu.geometry.affine import flip_back, transform_preds
+from epipolarpose_tpu.geometry.affine import (flip_back, flip_back_volume,
+                                              transform_preds)
 
 
 def normalize_images(x):
@@ -125,7 +126,11 @@ def make_eval_step(cfg, model, mesh=None, flip_pairs=()):
         out = apply(state, imgs)
         if flip_test:
             out_f = apply(state, imgs[:, :, ::-1, :])
-            out_f = flip_back(out_f, flip_pairs)
+            if target_type == "gaussian":
+                out_f = flip_back(out_f, flip_pairs)
+            else:
+                out_f = flip_back_volume(out_f, flip_pairs, num_joints,
+                                         depth_dim)
             if shift_heatmap:
                 # reference: shift flipped maps right by one pixel [H]
                 out_f = out_f.at[:, :, 1:, :].set(out_f[:, :, :-1, :])

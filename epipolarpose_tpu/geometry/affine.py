@@ -147,6 +147,26 @@ def flip_back(heatmaps, matched_parts):
     return hm[..., perm]
 
 
+def flip_back_volume(logits, matched_parts, num_joints: int, depth_dim: int):
+    """``flip_back`` for the integral head's volumetric output.
+
+    The 3D head emits (..., H, W, J*D) with channel = j*D + d (see
+    ops/integral.py): left/right swapping must permute whole J-BLOCKS of D
+    depth channels — permuting raw channel indices (what :func:`flip_back`
+    does) would swap depth BINS of the wrong joints. Depth itself is
+    invariant under a horizontal mirror, so only W flips and joint identity
+    swaps (reference flip-test on the H36M validate path, SURVEY §3.4 [M]).
+    """
+    if depth_dim == 1:
+        return flip_back(logits, matched_parts)
+    lead = logits.shape[:-1]
+    vol = logits.reshape(lead + (num_joints, depth_dim))
+    vol = vol[..., :, ::-1, :, :]                     # flip W (axis -3 here)
+    perm = _pair_permutation(num_joints, matched_parts)
+    vol = vol[..., perm, :]
+    return vol.reshape(lead + (num_joints * depth_dim,))
+
+
 def _pair_permutation(num_joints: int, matched_parts) -> jnp.ndarray:
     perm = list(range(num_joints))
     for a, b in matched_parts:

@@ -284,3 +284,42 @@ def test_load_refiner_roundtrip(tmp_path):
     out = refine(poses)
     assert out.shape == (3, 17, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ss_loss_identical_1_vs_8_devices():
+    """DP sharding must be semantics-preserving: the SAME batch and state
+    produce the SAME loss on 1 device and on the 8-device mesh (the mesh
+    only changes layout; XLA's derived all-reduces must not change math)."""
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
+                                   image_shape=(64, 64))
+    batch = next(ds.view_batches(8, shuffle=False))
+    batch.pop("joints_3d", None)
+
+    gt_src = jnp.asarray(np.stack([
+        np.asarray(__import__("epipolarpose_tpu.geometry", fromlist=["x"])
+                   .project_point_radial(
+            ds.records[i].meta["pose_world"][None],
+            ds.camera_for(ds.records[i]))[0])[0]
+        for g in ds.view_groups[:8] for i in g]))
+
+    def detect(imgs, centers, scales):
+        return gt_src, jnp.ones(gt_src.shape[:-1], jnp.float32)
+
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    step1 = make_ss_train_step(cfg, model, teacher, donate=False,
+                               detect_fn=detect)
+    _, m1 = step1(state, batch)
+
+    mesh = make_mesh(cfg)
+    step8 = make_ss_train_step(cfg, model, teacher, mesh=mesh, donate=False,
+                               detect_fn=detect)
+    state8 = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    _, m8 = step8(state8, shard_batch(batch, mesh))
+
+    l1, l8 = float(m1["loss"]), float(m8["loss"])
+    assert l1 > 0.0
+    np.testing.assert_allclose(l8, l1, rtol=2e-5)
