@@ -1,43 +1,54 @@
 #!/usr/bin/env python
-"""Headline benchmark: H36M-shape training throughput per chip.
+"""Benchmarks for the judged configs (BASELINE.md "build targets").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+stdout: ONE JSON line — the headline metric (H36M train img/s/chip on the
+flagship ResNet-50 integral 3D @ 256x256 config, judged config 2).
 
-Measures the judged metric "H36M train images/sec/chip" on the flagship
-config (ResNet-50 integral 3D @ 256x256, bf16, fused on-device target
-generation) with device-resident synthetic batches — the steady-state
-compute rate a double-buffered input pipeline has to keep up with.
+stderr + bench_extras.json: one JSON object per additional judged metric:
+  - batched triangulations/sec at H36M scale (judged config 3: undistort +
+    confidence-weighted DLT, the pseudo-GT generator's hot path)
+  - MPII 2D forward img/s @ 256 (judged config 1's inference rate)
+  - ResNet-152 @ 384 train img/s/chip with remat (judged config 5)
+  - END-TO-END input-fed train img/s: on-disk JPEGs -> loader -> device
+    (the number the reference's DataLoader->GPU rate corresponds to;
+    host-bound on few-core hosts — recorded with the core count)
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
 the driver's target is >=4x a contemporary-GPU reference run, estimated at
 ~150 img/s for simple-baselines-era ResNet-50@256 training. vs_baseline is
 therefore value / 150.0 — i.e. >=4.0 meets the stated target.
+
+Set BENCH_EXTRAS=0 to emit only the headline line.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import pathlib
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_GPU_IMG_S = 150.0     # estimate; reference publishes none
+ROOT = pathlib.Path(__file__).resolve().parent
 
 
-def main():
+def _log_extra(rec: dict, extras: list):
+    extras.append(rec)
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+    # incremental: a later extra timing out must not lose earlier ones
+    (ROOT / "bench_extras.json").write_text(json.dumps(extras, indent=1))
+
+
+def _train_throughput(cfg, batch_size: int, image_size: int,
+                      K: int = 20, iters: int = 5) -> float:
+    """Device-resident steady-state train rate (img/s) for one config."""
     import jax
-    import jax.numpy as jnp
-    from epipolarpose_tpu.config import load_config
-    import pathlib
-
-    root = pathlib.Path(__file__).resolve().parent
-    cfg = load_config(root / "experiments" / "h36m"
-                      / "train_fs_r50_256_integral.yaml")
-
     from epipolarpose_tpu.core import create_train_state, make_train_step
     from epipolarpose_tpu.models import get_model
 
-    batch_size = 128
     model = get_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                steps_per_epoch=1000)
@@ -45,24 +56,24 @@ def main():
 
     rng = np.random.default_rng(0)
     J = int(cfg.MODEL.NUM_JOINTS)
+    S = image_size
     batch = {
         "input": jax.device_put(
-            rng.uniform(0, 1, (batch_size, 256, 256, 3)).astype(np.float32)),
+            rng.uniform(0, 1, (batch_size, S, S, 3)).astype(np.float32)),
         "joints": jax.device_put(
-            rng.uniform(20, 236, (batch_size, J, 2)).astype(np.float32)),
+            rng.uniform(S * 0.1, S * 0.9,
+                        (batch_size, J, 2)).astype(np.float32)),
         "joints_vis": jax.device_put(np.ones((batch_size, J), np.float32)),
-        "joints_3d": jax.device_put(
-            rng.uniform(-400, 400, (batch_size, J, 3)).astype(np.float32)),
-        "center": jax.device_put(np.full((batch_size, 2), 128, np.float32)),
-        "scale": jax.device_put(np.full((batch_size, 2), 1.28, np.float32)),
+        "center": jax.device_put(np.full((batch_size, 2), S / 2, np.float32)),
+        "scale": jax.device_put(np.full((batch_size, 2), S / 200.0,
+                                        np.float32)),
     }
+    if cfg.MODEL.EXTRA.TARGET_TYPE == "integral":
+        batch["joints_3d"] = jax.device_put(
+            rng.uniform(-400, 400, (batch_size, J, 3)).astype(np.float32))
 
     # Scan K steps inside one jit: measures pure device throughput, free
     # of the per-step host dispatch RTT (~25ms through the axon tunnel).
-    # The jitted step inlines when traced inside the scan body; donation
-    # warnings there are harmless.
-    K = 20
-
     @jax.jit
     def run_k(state):
         def body(st, _):
@@ -72,20 +83,181 @@ def main():
 
     state, losses = run_k(state)
     _ = float(losses[-1])               # compile + sync
-    iters = 5
     t0 = time.time()
     for _ in range(iters):
         state, losses = run_k(state)
     _ = float(losses[-1])               # one sync at the end
     dt = (time.time() - t0) / (iters * K)
-    img_s = batch_size / dt
+    return batch_size / dt
 
+
+def bench_headline():
+    from epipolarpose_tpu.config import load_config
+    cfg = load_config(ROOT / "experiments" / "h36m"
+                      / "train_fs_r50_256_integral.yaml")
+    img_s = _train_throughput(cfg, batch_size=128, image_size=256)
     print(json.dumps({
         "metric": "h36m_train_images_per_sec_per_chip",
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / REFERENCE_GPU_IMG_S, 2),
-    }))
+    }), flush=True)
+
+
+def bench_triangulation(extras):
+    """Judged config 3: pseudo-GT generation rate — undistort + weighted
+    DLT (the adjugate fast path), points/sec at H36M problem shape."""
+    import jax
+    import jax.numpy as jnp
+    from epipolarpose_tpu.geometry import undistort_points
+    from epipolarpose_tpu.geometry.triangulation import triangulate
+    from epipolarpose_tpu.data.synthetic import make_rig
+    from epipolarpose_tpu.geometry import project_point_radial
+
+    G, J, V = 4096, 17, 4
+    rig = make_rig(V, img_size=1000, seed=0)
+    cam = jax.tree.map(lambda *x: jnp.stack(x), *rig)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-400, 400, (G, J, 3)).astype(np.float32)
+    pts[..., 2] += 900.0
+    det = np.zeros((G, V, J, 2), np.float32)
+    for v, c in enumerate(rig):
+        det[:, v] = np.asarray(project_point_radial(jnp.asarray(pts), c)[0])
+    det_d = jax.device_put(det)
+    conf = jax.device_put(np.ones((G, V, J), np.float32))
+    K = 10
+
+    @jax.jit
+    def run(det):
+        def body(carry, _):
+            und = undistort_points(det + carry, cam)
+            X, res = triangulate(und, cam.P, weights=conf, method="fast")
+            return res.mean(), X.mean()
+        return jax.lax.scan(body, jnp.float32(0), None, length=K)
+
+    _ = jax.block_until_ready(run(det_d))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = run(det_d)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / (iters * K)
+    _log_extra({
+        "metric": "h36m_triangulations_per_sec",
+        "value": round(G * J / dt, 0),
+        "unit": "points/s (undistort + weighted DLT, 4 views)",
+    }, extras)
+
+
+def bench_2d_forward(extras):
+    """Judged config 1: MPII 2D heatmap model, inference img/s @ 256."""
+    import jax
+    from epipolarpose_tpu.config import load_config
+    from epipolarpose_tpu.core.steps import normalize_images
+    from epipolarpose_tpu.models import get_model, init_pose_net
+    from epipolarpose_tpu.ops.heatmap import get_max_preds
+
+    cfg = load_config(ROOT / "experiments" / "mpii"
+                      / "train_r50_256x256_d256x3_adam_lr1e-3.yaml")
+    model = get_model(cfg, is_train=False)
+    params, stats = init_pose_net(model, jax.random.PRNGKey(0), (256, 256))
+    bs, K = 256, 20
+
+    @jax.jit
+    def run(imgs):
+        def body(c, _):
+            out = model.apply({"params": params, "batch_stats": stats},
+                              normalize_images(imgs + c), train=False)
+            p, v = get_max_preds(out)
+            return v.mean().astype(np.float32), None
+        return jax.lax.scan(body, np.float32(0), None, length=K)[0]
+
+    imgs = jax.device_put(np.random.default_rng(0).uniform(
+        0, 1, (bs, 256, 256, 3)).astype(np.float32))
+    _ = float(run(imgs))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = run(imgs)
+    _ = float(out)
+    dt = (time.time() - t0) / (iters * K)
+    _log_extra({
+        "metric": "mpii_2d_forward_images_per_sec_256",
+        "value": round(bs / dt, 1),
+        "unit": "img/s",
+    }, extras)
+
+
+def bench_r152_384(extras):
+    """Judged config 5: ResNet-152 @ 384 train rate (remat enabled)."""
+    from epipolarpose_tpu.config import load_config
+    cfg = load_config(ROOT / "experiments" / "h36m"
+                      / "train_fs_r152_384_integral.yaml")
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    img_s = _train_throughput(cfg, batch_size=bs,
+                              image_size=int(cfg.MODEL.IMAGE_SIZE[0]),
+                              K=4, iters=2)
+    _log_extra({
+        "metric": "h36m_r152_384_train_images_per_sec_per_chip",
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "batch_size": bs,
+    }, extras)
+
+
+def bench_e2e_input_fed(extras):
+    """End-to-end: on-disk JPEGs -> loader (auto path) -> double-buffered
+    prefetch -> fused train step. The honest DataLoader->device number; on
+    a 1-core host it is input-bound by construction, so the host core
+    count is recorded alongside."""
+    import multiprocessing
+    import tempfile
+    import jax
+    from epipolarpose_tpu.config import load_config
+    from epipolarpose_tpu.core import create_train_state, make_train_step
+    from epipolarpose_tpu.data import (MPIIDataset, epoch_loader,
+                                       write_synthetic_mpii)
+    from epipolarpose_tpu.models import get_model
+
+    cfg = load_config(ROOT / "experiments" / "mpii"
+                      / "train_r50_256x256_d256x3_adam_lr1e-3.yaml")
+    n, bs = 512, 64
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_mpii(td, cfg, num_samples=n)
+        ds = MPIIDataset(cfg, td, "train", is_train=True)
+        model = get_model(cfg)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   steps_per_epoch=n // bs)
+        step = make_train_step(cfg, model, donate=False)
+        for epoch in range(2):          # epoch 0 warms compile + calib
+            t0 = time.time()
+            seen = 0
+            for batch in epoch_loader(ds, bs, epoch, prefetch=2):
+                state, m = step(state, batch)
+                seen += bs
+            jax.block_until_ready(state.params)
+            dt = time.time() - t0
+        _log_extra({
+            "metric": "e2e_input_fed_train_images_per_sec",
+            "value": round(seen / dt, 1),
+            "unit": "img/s (disk JPEG -> loader -> train step)",
+            "host_cores": multiprocessing.cpu_count(),
+        }, extras)
+
+
+def main():
+    bench_headline()
+    if os.environ.get("BENCH_EXTRAS", "1") == "0":
+        return
+    extras: list = []
+    todo = [bench_triangulation, bench_2d_forward, bench_e2e_input_fed]
+    if os.environ.get("BENCH_SKIP_R152", "0") != "1":
+        todo.append(bench_r152_384)   # last: its 384² compile is minutes
+    for fn in todo:
+        try:
+            fn(extras)
+        except Exception as e:  # an extra must never break the headline
+            _log_extra({"metric": fn.__name__, "error": repr(e)}, extras)
 
 
 if __name__ == "__main__":

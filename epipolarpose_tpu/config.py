@@ -169,7 +169,9 @@ def _default_config() -> ConfigDict:
     # length when SS_BONE_LENGTH_MM > 0, else unit (0,1)-baseline
     c.TPU.SS_CAMERAS = "given"
     c.TPU.SS_BONE_LENGTH_MM = 0.0
-    c.TPU.NATIVE_LOADER = True   # C++ fused decode+warp batch path
+    # C++ fused decode+warp batch path: True / False / "auto" (one-shot
+    # per-host calibration picks the measured-fastest path)
+    c.TPU.NATIVE_LOADER = "auto"
     # orbax checkpoint of a trained refinement unit; when set, pseudo-GT is
     # refined in the SS loop before supervising the student ("SS + R")
     c.TPU.SS_REFINER = ""

@@ -123,7 +123,8 @@ class H36MDataset(JointsDataset):
 
     # ---------------------------------------------------- multi-view batches
     def view_batches(self, groups_per_batch: int, seed: int = 0,
-                     shuffle: bool | None = None, augment: bool = False):
+                     shuffle: bool | None = None, augment: bool = False,
+                     process_index: int = 0, process_count: int = 1):
         """Yield multi-view batches for self-supervision: dict with
         input (G, V, H, W, 3), centers/scales (G, V, 2), camera pytree with
         leading (G, V) dims — everything the teacher->triangulate->student
@@ -143,6 +144,12 @@ class H36MDataset(JointsDataset):
         stop = n - (n % groups_per_batch)
         for b in range(0, stop, groups_per_batch):
             gidx = order[b:b + groups_per_batch]
+            if process_count > 1:
+                # pod DP: same global group order everywhere; this host
+                # decodes only its groups (see host_shard_indices)
+                from epipolarpose_tpu.data.joints_dataset import \
+                    host_shard_indices
+                gidx = host_shard_indices(gidx, process_index, process_count)
             flat = [i for g in gidx for i in self.view_groups[g]]
             was_train = self.is_train
             try:
@@ -178,8 +185,8 @@ class H36MDataset(JointsDataset):
             rng = np.random.default_rng(seed * 1_000_003 + k)
             s_mult, rot, do_flip = self._augment_params(rng)
             img = self._read_image(rec.image).astype(np.float32) / 255.0
-            M = np.asarray(A.get_affine_transform(
-                rec.center, rec.scale * s_mult, rot, self.image_size))
+            M = A.get_affine_transform_np(
+                rec.center, rec.scale * s_mult, rot, self.image_size)
             if do_flip:
                 # fold the horizontal crop-space flip into the affine:
                 # M_flip = F ∘ M with F: x' = (W-1) - x

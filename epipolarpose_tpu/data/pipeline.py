@@ -56,12 +56,24 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
 
 def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
                  prefetch: int = 2, sharding=None,
-                 multiview: bool = False) -> Iterator[dict]:
-    """One epoch of device-resident batches (seeded per epoch)."""
+                 multiview: bool = False,
+                 process_index: int | None = None,
+                 process_count: int | None = None) -> Iterator[dict]:
+    """One epoch of device-resident batches (seeded per epoch).
+
+    ``batch_size`` is GLOBAL. On multi-host (pod) runs each process decodes
+    only its 1/P slice of every batch (identical epoch order from the
+    shared seed); pair with ``parallel.shard_batch_local`` as ``sharding``
+    so the global array is assembled from the per-host shards.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
     if multiview:
         it = dataset.view_batches(batch_size, seed=epoch,
-                                  shuffle=is_train, augment=is_train)
+                                  shuffle=is_train, augment=is_train,
+                                  process_index=pi, process_count=pc)
     else:
         it = dataset.batches(batch_size, seed=epoch, shuffle=is_train,
-                             drop_last=is_train)
+                             drop_last=is_train,
+                             process_index=pi, process_count=pc)
     return device_prefetch(it, size=prefetch, sharding=sharding)

@@ -210,18 +210,24 @@ def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
 
 
 def write_synthetic_h36m(root: str, cfg, num_frames: int = 6,
-                         seed: int = 0) -> None:
+                         seed: int = 0, camera_ids=None) -> None:
     """Materialize an H36M-format tree (annot jsons + cameras + images,
-    including zip-packed images for the zipreader path)."""
+    including zip-packed images for the zipreader path).
+
+    ``camera_ids``: optional 4-tuple of camera names to write (e.g. the
+    real H36M ids) so the tree reads back without patching
+    ``h36m.CAMERA_IDS``; default keeps the synthetic '0'..'3' names.
+    """
     import cv2
     import zipfile
     os.makedirs(os.path.join(root, "annot"), exist_ok=True)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     ds = SyntheticMultiviewDataset(cfg, num_frames=num_frames, seed=seed)
+    cam_name = (lambda v: str(camera_ids[v])) if camera_ids else str
 
     cameras = {}
     for v, cam in enumerate(ds.rig):
-        cameras[f"1:{v}"] = {
+        cameras[f"1:{cam_name(v)}"] = {
             "R": np.asarray(cam.R).tolist(), "T": np.asarray(cam.T).tolist(),
             "f": np.asarray(cam.f).tolist(), "c": np.asarray(cam.c).tolist(),
             "k": np.asarray(cam.k).tolist(), "p": np.asarray(cam.p).tolist(),
@@ -249,7 +255,7 @@ def write_synthetic_h36m(root: str, cfg, num_frames: int = 6,
                 "subject": 1,
                 "action": rec.meta["action"],
                 "subaction": rec.meta["subaction"],
-                "camera": rec.meta["camera"],
+                "camera": cam_name(int(rec.meta["camera"])),
                 "frame": rec.meta["frame"],
             })
     for split in ("train", "valid"):

@@ -9,6 +9,7 @@ from epipolarpose_tpu.geometry.affine import (  # noqa: F401
     affine_transform,
     fliplr_joints,
     get_affine_transform,
+    get_affine_transform_np,
     get_dir,
     get_3rd_point,
     invert_affine,

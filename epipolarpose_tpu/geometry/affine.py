@@ -99,6 +99,52 @@ def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0),
     return _solve_affine(src, dst)
 
 
+def get_affine_transform_np(center, scale, rot, output_size,
+                            shift=(0.0, 0.0), inv: bool = False):
+    """Pure-NUMPY twin of :func:`get_affine_transform` for the HOST data
+    pipeline. Identical math (parity-tested); exists because dispatching
+    tiny jnp ops per sample/batch from the data loader costs orders of
+    magnitude more than the arithmetic (device round-trips on a TPU host).
+    """
+    import numpy as np
+    center = np.asarray(center, np.float32)
+    scale = np.asarray(scale, np.float32)
+    if scale.ndim == center.ndim - 1 or scale.ndim == 0:
+        scale = scale[..., None] * np.ones_like(center)
+    shift = np.asarray(shift, np.float32)
+    rot = np.asarray(rot, np.float32)
+
+    scale_tmp = scale * 200.0
+    src_w = scale_tmp[..., 0]
+    dst_w = np.float32(output_size[0])
+    dst_h = np.float32(output_size[1])
+
+    rot_rad = np.pi * rot / 180.0
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    # rotate (0, -0.5*src_w) by rot_rad
+    src_dir = np.stack([(src_w * 0.5) * sn, (src_w * -0.5) * cs], axis=-1)
+    dst_dir = np.stack([np.zeros_like(src_w),
+                        (dst_w * -0.5) * np.ones_like(src_w)], axis=-1)
+
+    def third(a, b):
+        d = a - b
+        return b + np.stack([-d[..., 1], d[..., 0]], axis=-1)
+
+    src0 = center + scale_tmp * shift
+    src1 = center + src_dir + scale_tmp * shift
+    dst0 = np.stack([dst_w * 0.5 * np.ones_like(src_w),
+                     dst_h * 0.5 * np.ones_like(src_w)], axis=-1)
+    dst1 = dst0 + dst_dir
+    src = np.stack([src0, src1, third(src0, src1)], axis=-2)
+    dst = np.stack([dst0, dst1, third(dst0, dst1)], axis=-2)
+    if inv:
+        src, dst = dst, src
+    ones = np.ones(src.shape[:-1] + (1,), np.float32)
+    A = np.concatenate([src, ones], axis=-1)
+    X = np.linalg.solve(A, dst)
+    return np.swapaxes(X, -1, -2).astype(np.float32)
+
+
 def invert_affine(M):
     """Invert a (..., 2, 3) affine map."""
     A = M[..., :, :2]

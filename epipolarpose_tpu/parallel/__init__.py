@@ -14,4 +14,5 @@ from epipolarpose_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    shard_batch_local,
 )

@@ -75,3 +75,31 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(put, batch)
+
+
+def shard_batch_local(batch: dict, mesh: Mesh,
+                      process_count: int | None = None) -> dict:
+    """Assemble a GLOBAL device batch from this host's LOCAL shard (pod DP).
+
+    Counterpart of the loaders' ``process_index/process_count`` slicing
+    (SURVEY §2.C "data sharded per host"): every host decoded only
+    global_batch/P samples; ``jax.make_array_from_process_local_data``
+    stitches the per-process shards into one global jax.Array laid out over
+    the mesh's ``data`` axis — no cross-host data movement, each shard is
+    already on the host that owns those mesh devices. Falls back to
+    :func:`shard_batch` semantics when single-process.
+    """
+    pc = process_count if process_count is not None else jax.process_count()
+    if pc <= 1:
+        return shard_batch(batch, mesh)
+
+    def put(path, x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and (x.shape[0] * pc) % mesh.shape["data"] == 0:
+            sh = NamedSharding(mesh, P("data"))
+            gshape = (x.shape[0] * pc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), x, x.shape)
+
+    return jax.tree_util.tree_map_with_path(put, batch)

@@ -32,8 +32,14 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG buffer to RGB uint8. Returns 0 on success.
+// scale_num/8 is libjpeg-turbo's DCT-domain scaling: decoding a 1000px
+// source at 2/8 before a 256px crop does 1/16 the IDCT + color-convert
+// work AND box-filters the DCT blocks (less aliasing than subsampled
+// bilinear). full_w/full_h report the pre-scaling geometry so the caller
+// can fix up its affine.
 int decode_one(const uint8_t* buf, size_t size, std::vector<uint8_t>& out,
-               int& w, int& h) {
+               int& w, int& h, int scale_num = 8,
+               int* full_w = nullptr, int* full_h = nullptr) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -47,6 +53,10 @@ int decode_one(const uint8_t* buf, size_t size, std::vector<uint8_t>& out,
                  static_cast<unsigned long>(size));
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;
+    cinfo.scale_num = scale_num;
+    cinfo.scale_denom = 8;
+    if (full_w) *full_w = cinfo.image_width;
+    if (full_h) *full_h = cinfo.image_height;
     jpeg_start_decompress(&cinfo);
     w = cinfo.output_width;
     h = cinfo.output_height;
@@ -74,41 +84,110 @@ inline void invert_affine(const float* M, double* inv) {
     inv[5] = (d * c - a * f) * id;
 }
 
-// Bilinear warp of one RGB uint8 image into a float32 [0,1] crop.
+// Border-handling bilinear sample (BORDER_CONSTANT = 0), scalar path.
+inline void sample_checked(const uint8_t* src, int sw, int sh,
+                           double sx, double sy, float scale, float* o) {
+    const int x0 = static_cast<int>(std::floor(sx));
+    const int y0 = static_cast<int>(std::floor(sy));
+    const float fx = static_cast<float>(sx - x0);
+    const float fy = static_cast<float>(sy - y0);
+    float acc[3] = {0.f, 0.f, 0.f};
+    for (int dy2 = 0; dy2 <= 1; ++dy2) {
+        const int yy = y0 + dy2;
+        if (yy < 0 || yy >= sh) continue;
+        const float wy = dy2 ? fy : 1.f - fy;
+        for (int dx2 = 0; dx2 <= 1; ++dx2) {
+            const int xx = x0 + dx2;
+            if (xx < 0 || xx >= sw) continue;
+            const float wxy = wy * (dx2 ? fx : 1.f - fx);
+            const uint8_t* p = src + (static_cast<size_t>(yy) * sw + xx) * 3;
+            acc[0] += wxy * p[0];
+            acc[1] += wxy * p[1];
+            acc[2] += wxy * p[2];
+        }
+    }
+    o[0] = acc[0] * scale;
+    o[1] = acc[1] * scale;
+    o[2] = acc[2] * scale;
+}
+
+// Bilinear warp into a float32 [0,1] crop from a pre-inverted (dst->src)
+// affine. Per output row the source coords are linear in x, so the row is
+// split into [border | interior | border]: the interior span (2x2 stencil
+// fully inside) runs branch-free in float — the hot path for person crops,
+// which are interior for all but a few edge rows.
+void warp_one_inv(const uint8_t* src, int sw, int sh, const double* inv,
+                  float* dst, int dw, int dh, float scale) {
+    for (int y = 0; y < dh; ++y) {
+        const double sx0 = inv[1] * y + inv[2];
+        const double sy0 = inv[4] * y + inv[5];
+        // x-interval where sx in [0, sw-2] AND sy in [0, sh-2]
+        double xa = 0.0, xb = static_cast<double>(dw);
+        auto clip = [&xa, &xb](double a, double b, double hi) {
+            if (b > 1e-12) {
+                xa = std::max(xa, (0.0 - a) / b);
+                xb = std::min(xb, (hi - a) / b);
+            } else if (b < -1e-12) {
+                xa = std::max(xa, (hi - a) / b);
+                xb = std::min(xb, (0.0 - a) / b);
+            } else if (a < 0.0 || a > hi) {
+                xa = 1.0; xb = 0.0;
+            }
+        };
+        clip(sx0, inv[0], sw - 2.000001);
+        clip(sy0, inv[3], sh - 2.000001);
+        int xi0 = static_cast<int>(std::ceil(std::max(0.0, xa)));
+        int xi1 = static_cast<int>(std::floor(std::min(
+            static_cast<double>(dw), xb)));
+        if (xi1 < xi0) { xi0 = 0; xi1 = 0; }
+
+        float* orow = dst + static_cast<size_t>(y) * dw * 3;
+        for (int x = 0; x < xi0; ++x)
+            sample_checked(src, sw, sh, inv[0] * x + sx0, inv[3] * x + sy0,
+                           scale, orow + x * 3);
+        const size_t stride = static_cast<size_t>(sw) * 3;
+        for (int x = xi0; x < xi1; ++x) {
+            const float sx = static_cast<float>(inv[0] * x + sx0);
+            const float sy = static_cast<float>(inv[3] * x + sy0);
+            const int x0 = static_cast<int>(sx);
+            const int y0 = static_cast<int>(sy);
+            const float fx = sx - x0, fy = sy - y0;
+            const float w00 = (1.f - fx) * (1.f - fy), w01 = fx * (1.f - fy);
+            const float w10 = (1.f - fx) * fy, w11 = fx * fy;
+            const uint8_t* p0 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
+            const uint8_t* p1 = p0 + stride;
+            float* o = orow + x * 3;
+            o[0] = (w00 * p0[0] + w01 * p0[3] + w10 * p1[0] + w11 * p1[3])
+                   * scale;
+            o[1] = (w00 * p0[1] + w01 * p0[4] + w10 * p1[1] + w11 * p1[4])
+                   * scale;
+            o[2] = (w00 * p0[2] + w01 * p0[5] + w10 * p1[2] + w11 * p1[5])
+                   * scale;
+        }
+        for (int x = xi1; x < dw; ++x)
+            sample_checked(src, sw, sh, inv[0] * x + sx0, inv[3] * x + sy0,
+                           scale, orow + x * 3);
+    }
+}
+
 void warp_one_u8(const uint8_t* src, int sw, int sh, const float* M,
                  float* dst, int dw, int dh, float scale) {
     double inv[6];
     invert_affine(M, inv);
-    for (int y = 0; y < dh; ++y) {
-        for (int x = 0; x < dw; ++x) {
-            const double sx = inv[0] * x + inv[1] * y + inv[2];
-            const double sy = inv[3] * x + inv[4] * y + inv[5];
-            const int x0 = static_cast<int>(std::floor(sx));
-            const int y0 = static_cast<int>(std::floor(sy));
-            const float fx = static_cast<float>(sx - x0);
-            const float fy = static_cast<float>(sy - y0);
-            float acc[3] = {0.f, 0.f, 0.f};
-            for (int dy2 = 0; dy2 <= 1; ++dy2) {
-                const int yy = y0 + dy2;
-                if (yy < 0 || yy >= sh) continue;
-                const float wy = dy2 ? fy : 1.f - fy;
-                for (int dx2 = 0; dx2 <= 1; ++dx2) {
-                    const int xx = x0 + dx2;
-                    if (xx < 0 || xx >= sw) continue;
-                    const float wxy = wy * (dx2 ? fx : 1.f - fx);
-                    const uint8_t* p =
-                        src + (static_cast<size_t>(yy) * sw + xx) * 3;
-                    acc[0] += wxy * p[0];
-                    acc[1] += wxy * p[1];
-                    acc[2] += wxy * p[2];
-                }
-            }
-            float* o = dst + (static_cast<size_t>(y) * dw + x) * 3;
-            o[0] = acc[0] * scale;
-            o[1] = acc[1] * scale;
-            o[2] = acc[2] * scale;
-        }
-    }
+    warp_one_inv(src, sw, sh, inv, dst, dw, dh, scale);
+}
+
+// Pick the libjpeg scale_num (of 8) for a dst->src affine: with the crop
+// shrinking by s source px per dst px, decoding at ceil(8/s)/8 keeps the
+// effective shrink >= 1 while cutting IDCT work by ~s^2. Engaged only for
+// s >= 2 so near-native crops keep bit-parity with full decodes.
+inline int pick_scale_num(const double* inv) {
+    const double rx = std::hypot(inv[0], inv[1]);
+    const double ry = std::hypot(inv[3], inv[4]);
+    const double shrink = std::min(rx, ry);
+    if (shrink < 2.0) return 8;
+    int num = static_cast<int>(std::ceil(8.0 / shrink));
+    return num < 1 ? 1 : (num > 8 ? 8 : num);
 }
 
 }  // namespace
@@ -125,16 +204,28 @@ int decode_warp_batch(const uint8_t** jpegs, const size_t* sizes, int n,
 #pragma omp parallel for schedule(dynamic) reduction(+ : failures)
     for (int i = 0; i < n; ++i) {
         std::vector<uint8_t> img;
-        int w = 0, h = 0;
-        if (decode_one(jpegs[i], sizes[i], img, w, h) != 0) {
+        int w = 0, h = 0, full_w = 0, full_h = 0;
+        double inv[6];
+        invert_affine(Ms + static_cast<size_t>(i) * 6, inv);
+        const int snum = pick_scale_num(inv);
+        if (decode_one(jpegs[i], sizes[i], img, w, h, snum,
+                       &full_w, &full_h) != 0) {
             std::memset(out + static_cast<size_t>(i) * dh * dw * 3, 0,
                         sizeof(float) * dh * dw * 3);
             failures += 1;
             continue;
         }
-        warp_one_u8(img.data(), w, h, Ms + static_cast<size_t>(i) * 6,
-                    out + static_cast<size_t>(i) * dh * dw * 3, dw, dh,
-                    scale);
+        if (w != full_w || h != full_h) {
+            // remap dst->src coords onto the DCT-scaled pixel grid:
+            // x_scaled = (x_full + 0.5) * (w/full_w) - 0.5
+            const double rx = static_cast<double>(w) / full_w;
+            const double ry = static_cast<double>(h) / full_h;
+            inv[0] *= rx; inv[1] *= rx; inv[2] = inv[2] * rx + 0.5 * rx - 0.5;
+            inv[3] *= ry; inv[4] *= ry; inv[5] = inv[5] * ry + 0.5 * ry - 0.5;
+        }
+        warp_one_inv(img.data(), w, h, inv,
+                     out + static_cast<size_t>(i) * dh * dw * 3, dw, dh,
+                     scale);
     }
     return failures;
 }

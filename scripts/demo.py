@@ -84,7 +84,7 @@ def main():
     # crop like the dataset (host warp; eval has no rotation)
     import cv2
     from epipolarpose_tpu.geometry import affine as A
-    M = np.asarray(A.get_affine_transform(center, scale, 0.0, (W, H)))
+    M = A.get_affine_transform_np(center, scale, 0.0, (W, H))
     crop = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_LINEAR)
 
     batch = {

@@ -34,6 +34,15 @@ def parse_args():
     p.add_argument("--gt-detections", action="store_true",
                    help="bypass the teacher and triangulate the dataset's "
                         "GT 2D joints (isolates geometry quality)")
+    p.add_argument("--merge-into", default=None,
+                   help="annot json to fold the pseudo-GT into (the "
+                        "reference's stage-2 input)")
+    p.add_argument("--merge-out", default=None,
+                   help="output path for the merged annot json "
+                        "(default: <merge-into>.pseudo.json)")
+    p.add_argument("--merge-conf-min", type=float, default=0.0,
+                   help="skip records whose min teacher confidence is "
+                        "below this when merging")
     return p.parse_args()
 
 
@@ -108,6 +117,12 @@ def main():
     print(f"wrote {args.out}: {len(results)} records")
     if errs:
         print(f"pseudo-GT MPJPE vs dataset GT: {np.mean(errs):.2f} mm")
+    if args.merge_into:
+        from epipolarpose_tpu.data.pseudo_gt import merge_pseudo_gt_into_annot
+        out = args.merge_out or f"{args.merge_into}.pseudo.json"
+        n = merge_pseudo_gt_into_annot(args.merge_into, args.out, out,
+                                       conf_min=args.merge_conf_min)
+        print(f"merged pseudo-GT into {n} records -> {out}")
 
 
 if __name__ == "__main__":

@@ -131,8 +131,10 @@ def main():
                            flip_pairs=getattr(train_ds, "flip_pairs", ()))
 
     import functools
-    from epipolarpose_tpu.parallel import shard_batch
-    place = functools.partial(shard_batch, mesh=mesh)
+    # single-host: device_put with mesh shardings; pod runs: assemble the
+    # global array from this host's loader shard (falls through inside)
+    from epipolarpose_tpu.parallel import shard_batch_local
+    place = functools.partial(shard_batch_local, mesh=mesh)
 
     best_perf = -np.inf if higher_better else np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):

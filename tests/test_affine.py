@@ -103,3 +103,16 @@ def test_flip_back_inverts_flip(rng):
     flipped_input_maps = np.asarray(flip_back(hm, pairs))
     twice = np.asarray(flip_back(flipped_input_maps, pairs))
     np.testing.assert_allclose(twice, hm, atol=1e-6)
+
+
+def test_numpy_affine_matches_jnp(rng):
+    """Host-pipeline numpy twin must match the jnp affine exactly."""
+    from epipolarpose_tpu.geometry.affine import (get_affine_transform,
+                                                  get_affine_transform_np)
+    c = rng.uniform(50, 400, (16, 2)).astype(np.float32)
+    s = rng.uniform(0.5, 3.0, (16, 2)).astype(np.float32)
+    r = rng.uniform(-45, 45, 16).astype(np.float32)
+    for inv in (False, True):
+        Mj = np.asarray(get_affine_transform(c, s, r, (256, 192), inv=inv))
+        Mn = get_affine_transform_np(c, s, r, (256, 192), inv=inv)
+        np.testing.assert_allclose(Mn, Mj, atol=1e-3)

@@ -169,3 +169,60 @@ def test_h36m_file_roundtrip(tmp_path):
         assert ds.perf_higher_is_better is False
     finally:
         h36m_mod.CAMERA_IDS = orig
+
+
+def test_host_shard_indices_partition():
+    """Pod DP slicing: per-host slices are disjoint, contiguous, ordered,
+    and their union is the global batch."""
+    from epipolarpose_tpu.data.joints_dataset import host_shard_indices
+    idx = np.random.default_rng(0).permutation(64)
+    parts = [host_shard_indices(idx, p, 4) for p in range(4)]
+    assert all(len(p) == 16 for p in parts)
+    np.testing.assert_array_equal(np.concatenate(parts), idx)
+    import pytest
+    with pytest.raises(ValueError):
+        host_shard_indices(idx, 0, 5)   # 64 % 5 != 0
+
+
+def test_batches_per_host_slices_cover_global():
+    """Every host sees the SAME epoch order and decodes a disjoint 1/P of
+    each global batch; concatenating the hosts' 'index' fields reproduces
+    the single-process batches exactly."""
+    cfg = config
+    cfg.DATASET.DATASET = "synthetic"
+    ds = SyntheticPoseDataset(cfg, num_samples=32, is_train=True)
+    global_batches = [b["index"] for b in ds.batches(8, seed=3)]
+    per_host = [[b["index"] for b in ds.batches(
+        8, seed=3, process_index=p, process_count=2)] for p in range(2)]
+    assert len(per_host[0]) == len(global_batches)
+    for gb, h0, h1 in zip(global_batches, per_host[0], per_host[1]):
+        assert len(h0) == len(h1) == 4
+        np.testing.assert_array_equal(np.concatenate([h0, h1]), gb)
+
+
+def test_view_batches_per_host_slices():
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False)
+    full = next(ds.view_batches(4, shuffle=False))
+    h = [next(ds.view_batches(4, shuffle=False, process_index=p,
+                              process_count=2)) for p in range(2)]
+    assert h[0]["input"].shape[0] == 2
+    np.testing.assert_array_equal(
+        np.concatenate([h[0]["index"], h[1]["index"]]), full["index"])
+
+
+def test_shard_batch_local_single_process():
+    """With one process, shard_batch_local == shard_batch placement."""
+    from epipolarpose_tpu.parallel import (make_mesh, shard_batch,
+                                           shard_batch_local)
+    cfg = config
+    mesh = make_mesh(cfg)
+    batch = {"input": np.random.default_rng(0).uniform(
+        0, 1, (8, 16, 16, 3)).astype(np.float32),
+        "joints": np.zeros((8, 17, 2), np.float32)}
+    a = shard_batch_local(batch, mesh)
+    b = shard_batch(batch, mesh)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -1,0 +1,98 @@
+"""The reference's ACTUAL two-stage SS workflow, end to end (SURVEY §3.2):
+generate pseudo-GT offline over an on-disk H36M tree -> merge into the
+annot json -> train a fully-supervised 3D student from the pseudo labels.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.data.h36m import CAMERA_IDS, H36MDataset
+from epipolarpose_tpu.data.synthetic import write_synthetic_h36m
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_generate_merge_train_roundtrip(tmp_path):
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    write_synthetic_h36m(str(tmp_path), cfg, num_frames=4,
+                         camera_ids=CAMERA_IDS)
+
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text(f"""
+DATASET:
+  DATASET: h36m
+  ROOT: {tmp_path}
+  TRAIN_SET: train
+  TEST_SET: valid
+  LABEL_SOURCE: gt
+MODEL:
+  NAME: pose3d_resnet
+  IMAGE_SIZE: [64, 64]
+  NUM_JOINTS: 17
+  EXTRA:
+    TARGET_TYPE: integral
+    HEATMAP_SIZE: [16, 16]
+    SIGMA: 1
+    NUM_LAYERS: 18
+    NUM_DECONV_FILTERS: [32, 32, 32]
+    DEPTH_DIM: 8
+LOSS:
+  USE_TARGET_WEIGHT: true
+  TYPE: IntegralL1Loss
+TPU:
+  COMPUTE_DTYPE: float32
+""")
+    annot = tmp_path / "annot" / "train.json"
+    merged = tmp_path / "annot" / "train_pseudo.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "generate_pseudo_gt.py"),
+         "--cfg", str(yaml), "--gt-detections", "--groups-per-batch", "2",
+         "--out", str(tmp_path / "pseudo.json"),
+         "--merge-into", str(annot), "--merge-out", str(merged)],
+        capture_output=True, text=True, env=env, cwd=str(ROOT), timeout=540)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "merged pseudo-GT into 16 records" in out.stdout, out.stdout
+
+    # merged labels must be within mm of GT (perfect detections)
+    with open(annot) as f:
+        gt_annot = json.load(f)
+    with open(merged) as f:
+        ps_annot = json.load(f)
+    errs = []
+    for g, p in zip(gt_annot, ps_annot):
+        ggt = np.asarray(g["joints_3d"], np.float32)
+        pgt = np.asarray(p["joints_3d"], np.float32)
+        errs.append(np.linalg.norm(
+            (ggt - ggt[:1]) - (pgt - pgt[:1]), axis=-1).mean())
+    assert np.mean(errs) < 5.0, np.mean(errs)
+
+    # stage 2: FS training straight from the pseudo-GT annot
+    import jax
+    from epipolarpose_tpu.config import load_config
+    from epipolarpose_tpu.core import create_train_state, make_train_step
+    from epipolarpose_tpu.models import get_model
+
+    cfg2 = load_config(str(yaml))
+    ds = H36MDataset(cfg2, str(tmp_path), "train_pseudo", is_train=True)
+    assert len(ds) == 16
+    model = get_model(cfg2)
+    state = create_train_state(cfg2, model, jax.random.PRNGKey(0), 4)
+    step = make_train_step(cfg2, model, donate=False)
+    batch = ds.get_batch(list(range(16)))
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[0] > 0.0
+    assert losses[-1] < losses[0], losses

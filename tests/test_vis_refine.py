@@ -88,9 +88,12 @@ def test_pss_in_h36m_evaluate():
     cfg.MODEL.NUM_JOINTS = 17
     from epipolarpose_tpu.data import SyntheticMultiviewDataset
     ds = SyntheticMultiviewDataset(cfg, num_frames=30, is_train=False)
-    preds = np.stack([r.joints_3d for r in ds.records]).astype(np.float32)
-    preds = preds - preds[:, :1]
+    # eval-step output space: (x, y) source px + root-relative z (mm)
+    px = np.stack([r.joints for r in ds.records]).astype(np.float32)
+    z_rel = np.stack([r.joints_3d[:, 2] - r.joints_3d[0, 2]
+                      for r in ds.records]).astype(np.float32)
+    preds = np.concatenate([px, z_rel[..., None]], axis=-1)
     name_values, mean = ds.evaluate(cfg, preds)
-    assert mean < 1e-3                      # perfect predictions
+    assert mean < 1.0                       # perfect predictions
     assert "PSS@50" in name_values
     assert name_values["PSS@50"] == 1.0
