@@ -109,6 +109,8 @@ def _default_config() -> ConfigDict:
     c.DATASET.LABEL_SOURCE = "gt"
     c.DATASET.NUM_VIEWS = 4
     c.DATASET.SUBSAMPLE = 1
+    # 3DHP transfer eval: map the model's H36M joint order onto 3DHP's
+    c.DATASET.MAP_H36M_JOINTS = True
 
     # ---------------------------------------------------------------- train
     c.TRAIN = ConfigDict()

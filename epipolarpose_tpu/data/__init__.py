@@ -13,6 +13,7 @@ from epipolarpose_tpu.data.joints_dataset import (  # noqa: F401
 )
 from epipolarpose_tpu.data.mpii import MPIIDataset  # noqa: F401
 from epipolarpose_tpu.data.h36m import H36MDataset  # noqa: F401
+from epipolarpose_tpu.data.mpi3dhp import MPI3DHPDataset  # noqa: F401
 from epipolarpose_tpu.data.synthetic import (  # noqa: F401
     SyntheticMultiviewDataset,
     SyntheticPoseDataset,
@@ -27,6 +28,7 @@ from epipolarpose_tpu.data.pipeline import (  # noqa: F401
 _REGISTRY = {
     "mpii": MPIIDataset,
     "h36m": H36MDataset,
+    "mpi_inf_3dhp": MPI3DHPDataset,
     "synthetic": SyntheticPoseDataset,
     "synthetic_multiview": SyntheticMultiviewDataset,
 }

@@ -236,17 +236,58 @@ class H36MDataset(JointsDataset):
         name_value["NMPJPE"] = float(nmpjpe(preds, gts))
         name_value["PA-MPJPE"] = float(pa_mpjpe(preds, gts))
 
-        # PSS@{50,100} — the paper's distribution-aware metric [M]
-        import jax
-        from epipolarpose_tpu.ops.metrics import fit_pss_centers, pss
+        # PSS@{50,100} — the paper's distribution-aware metric [M]. Cluster
+        # centers are fit on TRAIN-split poses (paper protocol), cached on
+        # disk; falls back to the eval GT only when no train annot exists.
+        from epipolarpose_tpu.ops.metrics import pss
         for k in (50, 100):
-            if len(gts) >= 2 * k:
-                centers = fit_pss_centers(jax.random.PRNGKey(0),
-                                          gts.astype(np.float32), k=k)
+            centers = self.pss_centers(k, fallback_gts=gts)
+            if centers is not None:
                 name_value[f"PSS@{k}"] = float(
                     pss(preds.astype(np.float32), gts.astype(np.float32),
                         centers))
         return name_value, mean
+
+    def pss_centers(self, k: int, fallback_gts=None):
+        """k-means PSS centers from TRAIN-split root-centered poses.
+
+        Cached at <root>/annot/pss_centers_k{k}.npy. The paper fits the
+        pose clusters on training data [M]; fitting on the eval set (the
+        round-1 behavior) skews the metric. Returns None when neither a
+        train annot nor enough fallback poses exist.
+        """
+        import jax
+        from epipolarpose_tpu.ops.metrics import fit_pss_centers
+
+        cache = os.path.join(self.root, "annot", f"pss_centers_k{k}.npy") \
+            if getattr(self, "root", None) else None
+        if cache and os.path.exists(cache):
+            return np.load(cache)
+
+        poses = None
+        train_annot = os.path.join(self.root, "annot", "train.json") \
+            if getattr(self, "root", None) else None
+        if train_annot and os.path.exists(train_annot):
+            with open(train_annot) as f:
+                annots = json.load(f)
+            ps = [np.asarray(a["joints_3d"], np.float32)
+                  for a in annots if "joints_3d" in a]
+            if len(ps) >= 2 * k:
+                poses = np.stack(ps)
+                poses = poses - poses[:, self.root_idx:self.root_idx + 1]
+        if poses is None:
+            if fallback_gts is None or len(fallback_gts) < 2 * k:
+                return None
+            poses = np.asarray(fallback_gts, np.float32)
+
+        centers = np.asarray(fit_pss_centers(
+            jax.random.PRNGKey(0), poses.astype(np.float32), k=k))
+        if cache:
+            try:
+                np.save(cache, centers)
+            except OSError:
+                pass
+        return centers
 
     def _preds_to_camera_mm(self, preds, recs):
         """Lift eval-step predictions (x, y px; z rel-mm) to camera mm.

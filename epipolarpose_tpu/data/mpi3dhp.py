@@ -1,0 +1,179 @@
+"""MPI-INF-3DHP test set: reader + transfer evaluation (PCK3D / AUC).
+
+The paper reports H36M->3DHP transfer numbers (PCK@150mm, AUC — SURVEY §6
+[M]) for models trained on H36M. Standard test-release layout:
+
+  <root>/TS{1..6}/annot_data.mat     fields: valid_frame (F, 1),
+      annot2 (F, 1, 17, 2) pixel coords, annot3 (F, 1, 17, 3) camera-frame
+      mm (+ univ_annot3, unused here)
+  <root>/TS{n}/imageSequence/img_{frame:06d}.jpg
+
+The release ships no camera intrinsics; (fx, fy, cx, cy) are recovered per
+sequence by a least-squares pinhole fit of annot2 against annot3 — exact
+for the release's projections and calibration-file-free.
+
+3DHP 17-joint order [M]:
+  0 head_top 1 neck 2 rsho 3 relb 4 rwri 5 lsho 6 lelb 7 lwri
+  8 rhip 9 rkne 10 rank 11 lhip 12 lkne 13 lank 14 pelv 15 spine 16 head
+
+Transfer evaluation maps the model's H36M-order outputs onto this order
+(``H36M_TO_3DHP``) and, like the H36M protocol, back-projects the
+eval-step's (x, y px, root-relative z mm) predictions with the GT root
+depth before computing root-relative metrics.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from epipolarpose_tpu.data.joints_dataset import JointsDataset, JointsRecord
+
+# 3DHP[i] = H36M[H36M_TO_3DHP[i]]  (H36M order: see data/h36m.py docstring)
+H36M_TO_3DHP = (10, 8, 14, 15, 16, 11, 12, 13, 1, 2, 3, 4, 5, 6, 0, 7, 9)
+ROOT_IDX = 14            # pelvis in 3DHP order
+# left/right pairs in 3DHP order (for completeness / 3DHP-ordered models)
+FLIP_PAIRS_3DHP = ((2, 5), (3, 6), (4, 7), (8, 11), (9, 12), (10, 13))
+# the transfer protocol evaluates an H36M-ORDERED model, so the eval
+# step's flip-test must permute H36M pairs (mapping to 3DHP happens later,
+# inside evaluate())
+from epipolarpose_tpu.data.h36m import FLIP_PAIRS as FLIP_PAIRS_H36M  # noqa: E402
+
+
+def _load_annot_mat(path: str) -> dict:
+    """annot_data.mat -> numpy dict; handles both MATLAB v5 (scipy) and
+    v7.3 (HDF5 via h5py, column-major -> transposed) files."""
+    try:
+        from scipy.io import loadmat
+        m = loadmat(path)
+        return {k: np.asarray(v) for k, v in m.items()
+                if not k.startswith("__")}
+    except NotImplementedError:      # v7.3: scipy refuses, use h5py
+        import h5py
+        out = {}
+        with h5py.File(path, "r") as f:
+            for k in ("valid_frame", "annot2", "annot3", "univ_annot3"):
+                if k in f:
+                    out[k] = np.asarray(f[k]).T
+        return out
+
+
+def fit_pinhole_intrinsics(px: np.ndarray, cam3d: np.ndarray):
+    """Least-squares (fx, fy, cx, cy) from pixel<->camera-frame pairs.
+
+    px: (N, 2); cam3d: (N, 3) with Z > 0. Solves u = fx*(X/Z) + cx and
+    v = fy*(Y/Z) + cy independently.
+    """
+    xn = cam3d[:, 0] / cam3d[:, 2]
+    yn = cam3d[:, 1] / cam3d[:, 2]
+    Ax = np.stack([xn, np.ones_like(xn)], axis=1)
+    Ay = np.stack([yn, np.ones_like(yn)], axis=1)
+    fx, cx = np.linalg.lstsq(Ax, px[:, 0], rcond=None)[0]
+    fy, cy = np.linalg.lstsq(Ay, px[:, 1], rcond=None)[0]
+    return float(fx), float(fy), float(cx), float(cy)
+
+
+class MPI3DHPDataset(JointsDataset):
+    """Test-set reader for the H36M->3DHP transfer protocol."""
+
+    flip_pairs = FLIP_PAIRS_H36M     # model outputs are H36M-ordered
+    root_idx = ROOT_IDX
+    perf_higher_is_better = True     # perf indicator is PCK3D@150
+
+    def __init__(self, cfg, root: str, image_set: str, is_train: bool,
+                 **kwargs):
+        self.root = root
+        self.image_set = image_set
+        records = []
+        self.intrinsics = {}         # seq name -> (fx, fy, cx, cy)
+        for seq_dir in sorted(glob.glob(os.path.join(root, "TS*"))):
+            seq = os.path.basename(seq_dir)
+            annot = _load_annot_mat(
+                os.path.join(seq_dir, "annot_data.mat"))
+            valid = np.asarray(annot["valid_frame"]).reshape(-1) > 0
+            p2 = np.asarray(annot["annot2"], np.float32).reshape(-1, 17, 2)
+            p3 = np.asarray(annot["annot3"], np.float32).reshape(-1, 17, 3)
+            self.intrinsics[seq] = fit_pinhole_intrinsics(
+                p2[valid].reshape(-1, 2), p3[valid].reshape(-1, 3))
+            for f in np.flatnonzero(valid):
+                joints = p2[f]
+                center = 0.5 * (joints.min(0) + joints.max(0))
+                extent = float((joints.max(0) - joints.min(0)).max() * 1.25
+                               + 40)
+                records.append(JointsRecord(
+                    image=os.path.join(seq_dir, "imageSequence",
+                                       f"img_{f + 1:06d}.jpg"),
+                    center=center.astype(np.float32),
+                    scale=np.array([extent / 200, extent / 200], np.float32),
+                    joints=joints,
+                    joints_vis=np.ones(17, np.float32),
+                    joints_3d=p3[f],
+                    meta={"seq": seq, "frame": int(f)}))
+        super().__init__(cfg, records, is_train, **kwargs)
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(self, cfg, preds, output_dir=None, **kwargs):
+        """Transfer metrics: PCK3D@150 (perf), AUC, MPJPE.
+
+        preds: (N, J, 3) in the eval step's output space — (x, y) source
+        pixels + root-relative z (mm) — in the MODEL's H36M joint order
+        (mapped here), or already 3DHP-ordered camera mm when no mapping
+        applies (set DATASET.MAP_H36M_JOINTS: false).
+        """
+        from epipolarpose_tpu.ops.metrics import auc3d, mpjpe, pck3d
+        preds = np.asarray(preds, np.float32)
+        if bool(cfg.DATASET.get("MAP_H36M_JOINTS", True)) and \
+                preds.shape[1] == 17:
+            preds = preds[:, H36M_TO_3DHP]
+        recs = self.records[:len(preds)]
+        gts = np.stack([r.joints_3d for r in recs])
+
+        # pixel -> camera mm with GT root depth + fitted intrinsics
+        cam_preds = np.empty_like(preds)
+        for i, r in enumerate(recs):
+            fx, fy, cx, cy = self.intrinsics[r.meta["seq"]]
+            Z = preds[i, :, 2] + r.joints_3d[self.root_idx, 2]
+            cam_preds[i, :, 0] = (preds[i, :, 0] - cx) / fx * Z
+            cam_preds[i, :, 1] = (preds[i, :, 1] - cy) / fy * Z
+            cam_preds[i, :, 2] = Z
+        cam_preds -= cam_preds[:, self.root_idx:self.root_idx + 1]
+        gts = gts - gts[:, self.root_idx:self.root_idx + 1]
+
+        name_value = {
+            "PCK3D@150": float(pck3d(cam_preds, gts, 150.0)),
+            "AUC": float(auc3d(cam_preds, gts, 150.0)),
+            "MPJPE": float(mpjpe(cam_preds, gts)),
+        }
+        return name_value, name_value["PCK3D@150"]
+
+
+def write_synthetic_3dhp(root: str, num_frames: int = 8, seed: int = 0,
+                         with_images: bool = False) -> None:
+    """Materialize a 3DHP-format test tree (annot_data.mat per TS dir) for
+    reader/eval tests — poses projected through a known pinhole camera so
+    the intrinsics fit and the back-projection are exactly invertible."""
+    from scipy.io import savemat
+    rng = np.random.default_rng(seed)
+    fx, fy, cx, cy = 1500.0, 1495.0, 1024.0, 1020.0
+    for ts in (1, 2):
+        seq_dir = os.path.join(root, f"TS{ts}")
+        os.makedirs(os.path.join(seq_dir, "imageSequence"), exist_ok=True)
+        p3 = rng.uniform(-400, 400, (num_frames, 1, 17, 3)).astype(
+            np.float32)
+        p3[..., 2] += 3500.0
+        p2 = np.empty((num_frames, 1, 17, 2), np.float32)
+        p2[..., 0] = fx * p3[..., 0] / p3[..., 2] + cx
+        p2[..., 1] = fy * p3[..., 1] / p3[..., 2] + cy
+        valid = np.ones((num_frames, 1), np.uint8)
+        valid[-1] = 0                      # exercise valid_frame masking
+        savemat(os.path.join(seq_dir, "annot_data.mat"),
+                {"valid_frame": valid, "annot2": p2, "annot3": p3,
+                 "univ_annot3": p3})
+        if with_images:
+            import cv2
+            for f in range(num_frames):
+                img = np.zeros((128, 128, 3), np.uint8)
+                cv2.imwrite(os.path.join(
+                    seq_dir, "imageSequence", f"img_{f + 1:06d}.jpg"), img)

@@ -1,0 +1,57 @@
+"""MPI-INF-3DHP transfer eval: reader, intrinsics fit, PCK3D/AUC protocol."""
+
+import numpy as np
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.data.mpi3dhp import (
+    H36M_TO_3DHP, MPI3DHPDataset, fit_pinhole_intrinsics,
+    write_synthetic_3dhp,
+)
+
+
+def test_joint_map_is_permutation():
+    assert sorted(H36M_TO_3DHP) == list(range(17))
+
+
+def test_intrinsics_fit_exact(rng):
+    fx, fy, cx, cy = 1480.0, 1475.0, 1000.0, 990.0
+    p3 = rng.uniform(-500, 500, (200, 3)).astype(np.float32)
+    p3[:, 2] += 4000.0
+    px = np.stack([fx * p3[:, 0] / p3[:, 2] + cx,
+                   fy * p3[:, 1] / p3[:, 2] + cy], axis=1)
+    got = fit_pinhole_intrinsics(px, p3)
+    np.testing.assert_allclose(got, (fx, fy, cx, cy), rtol=1e-4)
+
+
+def test_reader_and_perfect_transfer_eval(tmp_path):
+    cfg = config
+    write_synthetic_3dhp(str(tmp_path), num_frames=8)
+    ds = MPI3DHPDataset(cfg, str(tmp_path), "test", is_train=False)
+    # 2 sequences x 7 valid frames (last frame masked by valid_frame)
+    assert len(ds) == 14
+    assert ds.perf_higher_is_better is True
+    assert set(ds.intrinsics) == {"TS1", "TS2"}
+
+    # perfect predictions, expressed the way the eval step emits them and
+    # in the MODEL's H36M joint order: the evaluate() protocol must map to
+    # 3DHP order, back-project and score ~100 PCK / ~0 MPJPE
+    inv = np.argsort(np.asarray(H36M_TO_3DHP))   # 3DHP -> H36M positions
+    preds = np.zeros((len(ds), 17, 3), np.float32)
+    for i, r in enumerate(ds.records):
+        z_rel = r.joints_3d[:, 2] - r.joints_3d[ds.root_idx, 2]
+        p = np.concatenate([r.joints, z_rel[:, None]], axis=-1)  # 3DHP order
+        preds[i] = p[inv]                                        # H36M order
+    name_values, perf = ds.evaluate(cfg, preds)
+    assert perf == 100.0
+    assert name_values["AUC"] > 95.0
+    assert name_values["MPJPE"] < 0.5, name_values
+
+
+def test_bad_preds_score_low(tmp_path, rng):
+    cfg = config
+    write_synthetic_3dhp(str(tmp_path), num_frames=4, seed=1)
+    ds = MPI3DHPDataset(cfg, str(tmp_path), "test", is_train=False)
+    preds = rng.uniform(0, 2048, (len(ds), 17, 3)).astype(np.float32)
+    preds[..., 2] = rng.uniform(-400, 400, (len(ds), 17))
+    name_values, perf = ds.evaluate(cfg, preds)
+    assert perf < 50.0
