@@ -9,6 +9,7 @@ continuous sub-pixel coordinates, normalized to [-0.5, 0.5).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -30,7 +31,12 @@ def softmax_integral(logits, num_joints: int, depth_dim: int = 1):
     D = depth_dim
     lead = logits.shape[:-3]
     vol = logits.reshape(lead + (H, W, num_joints, D))
-    m = jnp.max(vol, axis=(-4, -3, -1), keepdims=True)  # per-joint max
+    # stop_gradient on the stabilizer: softmax is analytically invariant to
+    # the subtracted constant, but letting AD differentiate through max
+    # builds a full-volume scatter mask in the backward pass — measured
+    # 1.6 ms/step on the flagship head (VERDICT r1 item 5 profile)
+    m = jax.lax.stop_gradient(
+        jnp.max(vol, axis=(-4, -3, -1), keepdims=True))  # per-joint max
     e = jnp.exp((vol - m).astype(jnp.float32))          # (..., H, W, J, D)
 
     xs = jnp.arange(W, dtype=jnp.float32)
