@@ -86,16 +86,31 @@ def validate(cfg, loader, dataset, state, eval_step, writer=None,
 
     Returns (name_values, perf_indicator).
     """
+    def fetch(x):
+        """Host-materialize an array that may be sharded across hosts.
+
+        Single-host (and replicated outputs): plain np.asarray. On pod runs
+        the loader's batch arrays are data-sharded across processes, so a
+        tiled all-gather is needed before host use (eval-step OUTPUTS are
+        replicated by out_shardings and need no gather)."""
+        import jax
+        if jax.process_count() > 1 and hasattr(x, "is_fully_addressable") \
+                and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     all_preds = []
     all_boxes = []
     n_seen = 0
     end = time.time()
     for batch in loader:
         out = eval_step(state, batch)
-        preds = np.asarray(out["preds"])
+        preds = fetch(out["preds"])
         all_preds.append(preds)
-        c = np.asarray(batch["center"])
-        s = np.asarray(batch["scale"])
+        c = fetch(batch["center"])
+        s = fetch(batch["scale"])
         all_boxes.append(np.concatenate(
             [c, s, np.prod(s * 200, axis=-1, keepdims=True)], axis=-1))
         n_seen += preds.shape[0]

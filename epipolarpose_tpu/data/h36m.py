@@ -171,20 +171,20 @@ class H36MDataset(JointsDataset):
             yield out
 
     def _augmented_crops(self, indices, seed: int) -> dict:
-        """Second (augmented) crop per sample for dual-crop SS."""
-        import cv2
-        from epipolarpose_tpu.geometry import affine as A
+        """Second (augmented) crop per sample for dual-crop SS.
 
+        Fast path: ONE fused native decode+warp call for the whole batch
+        (rotation/flip folded into the affines — the C++ loader handles
+        arbitrary affines and DCT-scales the decode); cv2 fallback
+        otherwise."""
         n = len(indices)
-        crops = np.zeros((n,) + tuple(self.image_size[::-1]) + (3,),
-                         np.float32)
         Ms = np.zeros((n, 2, 3), np.float32)
         flips = np.zeros(n, np.float32)
+        from epipolarpose_tpu.geometry import affine as A
         for k, idx in enumerate(indices):
             rec = self.records[idx]
             rng = np.random.default_rng(seed * 1_000_003 + k)
             s_mult, rot, do_flip = self._augment_params(rng)
-            img = self._read_image(rec.image).astype(np.float32) / 255.0
             M = A.get_affine_transform_np(
                 rec.center, rec.scale * s_mult, rot, self.image_size)
             if do_flip:
@@ -195,10 +195,31 @@ class H36MDataset(JointsDataset):
                 M = np.concatenate(
                     [F[:, :2] @ M[:, :2],
                      (F[:, :2] @ M[:, 2] + F[:, 2])[:, None]], axis=1)
-            crops[k] = cv2.warpAffine(img, M, self.image_size,
-                                      flags=cv2.INTER_LINEAR)
             Ms[k] = M
             flips[k] = float(do_flip)
+
+        if self._use_native(indices, seed):
+            from epipolarpose_tpu.data import fastloader
+            from epipolarpose_tpu.data.zipreader import is_zip_path, \
+                read_bytes
+
+            def read(path):
+                if is_zip_path(path):
+                    return read_bytes(path)
+                with open(path, "rb") as f:
+                    return f.read()
+            bufs = list(self.pool.map(
+                lambda i: read(self.records[i].image), indices))
+            crops = fastloader.decode_warp_batch(bufs, Ms, self.image_size)
+        else:
+            import cv2
+            crops = np.zeros((n,) + tuple(self.image_size[::-1]) + (3,),
+                             np.float32)
+            for k, idx in enumerate(indices):
+                img = self._read_image(self.records[idx].image)
+                crops[k] = cv2.warpAffine(
+                    img, Ms[k], self.image_size,
+                    flags=cv2.INTER_LINEAR).astype(np.float32) / 255.0
         return {"input_aug": crops, "aug_M": Ms, "aug_flip": flips}
 
     # ------------------------------------------------------------ evaluate
