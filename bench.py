@@ -205,6 +205,53 @@ def bench_r152_384(extras):
     }, extras)
 
 
+def bench_ss_loop(extras):
+    """Judged config 4: the FULL self-supervised loop — frozen 2D teacher
+    over 4 views -> decode -> undistort -> weighted DLT -> per-view
+    reprojection -> integral student fwd/bwd -> adam — as one jit,
+    device-resident multi-view batches (img/s counts student crops)."""
+    import jax
+    from epipolarpose_tpu.config import load_config
+    from epipolarpose_tpu.core import create_train_state
+    from epipolarpose_tpu.core.self_supervised import (load_teacher,
+                                                       make_ss_train_step)
+    from epipolarpose_tpu.data import SyntheticMultiviewDataset
+    from epipolarpose_tpu.models import get_model
+
+    cfg = load_config(ROOT / "experiments" / "h36m"
+                      / "train_ss_r50_256_integral.yaml")
+    G = 16                               # 16 groups x 4 views = 64 crops
+    ds = SyntheticMultiviewDataset(cfg, num_frames=G, is_train=False)
+    batch = next(ds.view_batches(G, shuffle=False))
+    batch.pop("joints_3d", None)
+    batch = jax.device_put(batch)
+    model = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 1000)
+    step = make_ss_train_step(cfg, model, teacher, donate=True)
+    K, iters = 10, 3
+
+    @jax.jit
+    def run_k(state):
+        def body(st, _):
+            st, m = step(st, batch)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, None, length=K)
+
+    state, losses = run_k(state)
+    _ = float(losses[-1])
+    t0 = time.time()
+    for _ in range(iters):
+        state, losses = run_k(state)
+    _ = float(losses[-1])
+    dt = (time.time() - t0) / (iters * K)
+    _log_extra({
+        "metric": "ss_loop_train_images_per_sec_per_chip",
+        "value": round(G * 4 / dt, 1),
+        "unit": "img/s (teacher+DLT+student, 4 views, on-device)",
+    }, extras)
+
+
 def bench_e2e_input_fed(extras):
     """End-to-end: on-disk JPEGs -> loader (auto path) -> double-buffered
     prefetch -> fused train step. The honest DataLoader->device number; on
@@ -250,7 +297,8 @@ def main():
     if os.environ.get("BENCH_EXTRAS", "1") == "0":
         return
     extras: list = []
-    todo = [bench_triangulation, bench_2d_forward, bench_e2e_input_fed]
+    todo = [bench_triangulation, bench_2d_forward, bench_ss_loop,
+            bench_e2e_input_fed]
     if os.environ.get("BENCH_SKIP_R152", "0") != "1":
         todo.append(bench_r152_384)   # last: its 384² compile is minutes
     for fn in todo:
