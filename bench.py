@@ -189,7 +189,8 @@ def bench_2d_forward(extras):
 
 
 def bench_r152_384(extras):
-    """Judged config 5: ResNet-152 @ 384 train rate (remat enabled)."""
+    """Judged config 5: ResNet-152 @ 384 train rate (remat per config —
+    off by default: bs24 fits v5e HBM and runs 16% faster)."""
     from epipolarpose_tpu.config import load_config
     cfg = load_config(ROOT / "experiments" / "h36m"
                       / "train_fs_r152_384_integral.yaml")
@@ -202,6 +203,7 @@ def bench_r152_384(extras):
         "value": round(img_s, 1),
         "unit": "img/s",
         "batch_size": bs,
+        "remat": bool(cfg.TPU.REMAT),
     }, extras)
 
 
