@@ -174,6 +174,14 @@ def _default_config() -> ConfigDict:
     # C++ fused decode+warp batch path: True / False / "auto" (one-shot
     # per-host calibration picks the measured-fastest path)
     c.TPU.NATIVE_LOADER = "auto"
+    # host input backend: "threads" (pool + C++ fastloader, default) or
+    # "grain" (multi-process workers, SURVEY §2.C plan — for many-core
+    # hosts with GIL-bound sources)
+    c.TPU.LOADER = "threads"
+    # grain worker processes: -1 = auto (WORKERS - 1); 0 = in-process.
+    # NOTE worker processes require a proper script __main__ (spawn
+    # re-imports it) — in-process is used automatically under pytest.
+    c.TPU.GRAIN_WORKERS = -1
     # orbax checkpoint of a trained refinement unit; when set, pseudo-GT is
     # refined in the SS loop before supervising the student ("SS + R")
     c.TPU.SS_REFINER = ""

@@ -24,6 +24,9 @@ from epipolarpose_tpu.data.pipeline import (  # noqa: F401
     device_prefetch,
     epoch_loader,
 )
+from epipolarpose_tpu.data.grain_pipeline import (  # noqa: F401
+    grain_epoch_loader,
+)
 
 _REGISTRY = {
     "mpii": MPIIDataset,

@@ -87,6 +87,19 @@ class JointsDataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    # picklable across grain/dataloader worker processes: the thread pool
+    # is per-process state and is rebuilt lazily after unpickling
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["pool"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.pool is None:
+            self.pool = ThreadPoolExecutor(
+                max_workers=int(self.cfg.WORKERS) or 1)
+
     # -------------------------------------------------------------- loading
     def _read_image(self, path: str) -> np.ndarray:
         from epipolarpose_tpu.data.zipreader import imread

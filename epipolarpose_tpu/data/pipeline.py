@@ -68,10 +68,21 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    backend = str(getattr(dataset.cfg.TPU, "LOADER", "threads")) \
+        if hasattr(dataset, "cfg") else "threads"
     if multiview:
         it = dataset.view_batches(batch_size, seed=epoch,
                                   shuffle=is_train, augment=is_train,
                                   process_index=pi, process_count=pc)
+    elif backend == "grain" and pc == 1:
+        # multi-process host decode (SURVEY §2.C plan); per-host slicing
+        # for pods still goes through the batches() path
+        from epipolarpose_tpu.data.grain_pipeline import grain_epoch_loader
+        gw = int(getattr(dataset.cfg.TPU, "GRAIN_WORKERS", -1))
+        if gw < 0:
+            gw = max(int(dataset.cfg.WORKERS) - 1, 0)
+        it = grain_epoch_loader(dataset, batch_size, epoch,
+                                is_train=is_train, worker_count=gw)
     else:
         it = dataset.batches(batch_size, seed=epoch, shuffle=is_train,
                              drop_last=is_train,

@@ -226,3 +226,70 @@ def test_shard_batch_local_single_process():
     for k in batch:
         assert a[k].sharding == b[k].sharding
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_grain_loader_matches_thread_loader():
+    """grain backend (in-process) must yield the same record coverage and
+    batch schema as the default thread-pool path; dataset pickling for
+    worker processes round-trips."""
+    import pickle
+    from epipolarpose_tpu.data import grain_epoch_loader
+    cfg = config
+    ds = SyntheticPoseDataset(cfg, num_samples=12, is_train=False)
+    got = list(grain_epoch_loader(ds, 4, epoch=0, is_train=False,
+                                  worker_count=0))
+    assert len(got) == 3
+    ref = ds.get_batch([0, 1, 2, 3], seed=0)
+    assert set(got[0]) >= set(ref) - {"index"} | {"index"}
+    for k in ("input", "joints", "joints_vis", "center", "scale"):
+        assert got[0][k].shape == ref[k].shape, k
+    idx = np.concatenate([b["index"] for b in got])
+    np.testing.assert_array_equal(np.sort(idx), np.arange(12))
+    # worker-process readiness: pickle round trip rebuilds the pool
+    ds2 = pickle.loads(pickle.dumps(ds))
+    b = ds2.get_batch([0, 1])
+    assert b["input"].shape == (2, 256, 256, 3)
+
+
+def test_epoch_loader_grain_backend():
+    cfg = config
+    cfg.TPU.LOADER = "grain"
+    cfg.TPU.GRAIN_WORKERS = 0      # worker procs need a script __main__
+    try:
+        from epipolarpose_tpu.data import epoch_loader
+        ds = SyntheticPoseDataset(cfg, num_samples=8, is_train=True)
+        batches = list(epoch_loader(ds, 4, epoch=1))
+        assert len(batches) == 2
+        import jax
+        assert isinstance(batches[0]["input"], jax.Array)
+    finally:
+        cfg.TPU.LOADER = "threads"
+        cfg.TPU.GRAIN_WORKERS = -1
+
+
+def test_grain_multiprocess_workers(tmp_path):
+    """Worker PROCESSES (the reference-DataLoader analogue) validated from
+    a real script __main__ (multiprocessing spawn re-imports it, which is
+    why this can't run inline under pytest)."""
+    import pathlib
+    import subprocess
+    import sys
+    root = pathlib.Path(__file__).resolve().parents[1]
+    script = tmp_path / "grain_mp_check.py"
+    script.write_text(f"""
+import sys
+sys.path.insert(0, {str(root)!r})
+if __name__ == "__main__":
+    from epipolarpose_tpu.config import config as cfg
+    from epipolarpose_tpu.data import SyntheticPoseDataset
+    from epipolarpose_tpu.data.grain_pipeline import grain_epoch_loader
+    ds = SyntheticPoseDataset(cfg, num_samples=8, is_train=True)
+    got = list(grain_epoch_loader(ds, 4, epoch=1, is_train=True,
+                                  worker_count=2))
+    assert len(got) == 2 and got[0]["input"].shape == (4, 256, 256, 3)
+    print("MP-GRAIN-OK")
+""")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, str(script)], text=True,
+                         capture_output=True, env=env, timeout=300)
+    assert "MP-GRAIN-OK" in out.stdout, out.stderr[-2000:]
