@@ -183,7 +183,9 @@ class H36MDataset(JointsDataset):
         from epipolarpose_tpu.geometry import affine as A
         for k, idx in enumerate(indices):
             rec = self.records[idx]
-            rng = np.random.default_rng(seed * 1_000_003 + k)
+            # record-index seeding: pod-host slices must reproduce the
+            # single-process batch content (see JointsDataset._get_batch_pool)
+            rng = np.random.default_rng(seed * 1_000_003 + int(idx))
             s_mult, rot, do_flip = self._augment_params(rng)
             M = A.get_affine_transform_np(
                 rec.center, rec.scale * s_mult, rot, self.image_size)

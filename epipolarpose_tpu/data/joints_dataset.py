@@ -181,9 +181,13 @@ class JointsDataset:
         return batch
 
     def _get_batch_pool(self, indices, seed: int) -> dict:
+        # per-sample aug seed keys on the RECORD index, not the position in
+        # the batch: pod-DP hosts each decode a SLICE of the global batch,
+        # and the content must be identical to a single-process run
+        # (placement-invariance, pinned by tests/test_multihost.py)
         outs = list(self.pool.map(
-            lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
-            enumerate(indices)))
+            lambda i: self._load_one(i, seed * 1_000_003 + int(i)),
+            indices))
         return {k: np.stack([o[k] for o in outs]) for k in outs[0]}
 
     def _native_eligible(self, indices) -> bool:
@@ -248,8 +252,9 @@ class JointsDataset:
         rots = np.zeros(n, np.float32)
         flips = np.zeros(n, bool)
         if self.is_train:
-            for k in range(n):
-                rng = np.random.default_rng(seed * 1_000_003 + k)
+            for k, i in enumerate(indices):
+                # record-index seeding (see _get_batch_pool)
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
                 s_mult, rot, do_flip = self._augment_params(rng)
                 scales[k] *= s_mult
                 rots[k] = rot

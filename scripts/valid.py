@@ -70,10 +70,11 @@ def main():
     estep = make_eval_step(config, model, mesh=mesh,
                            flip_pairs=getattr(ds, "flip_pairs", ()))
     import functools
-    from epipolarpose_tpu.parallel import shard_batch
+    from epipolarpose_tpu.parallel import shard_batch_local
     loader = epoch_loader(ds, int(config.TEST.BATCH_SIZE), 0,
                           is_train=False,
-                          sharding=functools.partial(shard_batch, mesh=mesh))
+                          sharding=functools.partial(shard_batch_local,
+                                                     mesh=mesh))
     name_values, perf = validate(config, loader, ds, state, estep,
                                  output_dir=output_dir)
     logger.info(f"perf: {perf:.3f}")
