@@ -87,7 +87,8 @@ class MPIIDataset(JointsDataset):
         mv = valid.copy()
         mv[:, 6:8] = False
         mean = 100.0 * ((d <= 0.5) & mv).sum() / max(mv.sum(), 1)
-        name_value = self._name_value(per_joint, mean)
+        mean01 = 100.0 * ((d <= 0.1) & mv).sum() / max(mv.sum(), 1)
+        name_value = self._name_value(per_joint, mean, mean01)
         return name_value, mean
 
     def _evaluate_mat(self, preds, gt_file):
@@ -108,13 +109,15 @@ class MPIIDataset(JointsDataset):
         keep = np.ones(below.shape[0], bool)
         keep[6:8] = False
         mean = 100.0 * below[keep].sum() / max(jnt_vis[keep].sum(), 1)
-        return self._name_value(per_joint, mean), mean
+        below01 = (scaled <= 0.1) * jnt_vis
+        mean01 = 100.0 * below01[keep].sum() / max(jnt_vis[keep].sum(), 1)
+        return self._name_value(per_joint, mean, mean01), mean
 
     @staticmethod
-    def _name_value(per_joint, mean):
-        """Reference's per-joint metric table layout."""
+    def _name_value(per_joint, mean, mean01=None):
+        """Reference's per-joint metric table layout (incl. Mean@0.1)."""
         pj = np.asarray(per_joint, np.float64)
-        return {
+        out = {
             "Head": pj[9],
             "Shoulder": 0.5 * (pj[12] + pj[13]),
             "Elbow": 0.5 * (pj[11] + pj[14]),
@@ -124,3 +127,6 @@ class MPIIDataset(JointsDataset):
             "Ankle": 0.5 * (pj[0] + pj[5]),
             "Mean": float(mean),
         }
+        if mean01 is not None:
+            out["Mean@0.1"] = float(mean01)
+        return out

@@ -68,8 +68,17 @@ if __name__ == "__main__":
         assert batch["input"].shape[0] == 8           # GLOBAL batch
         state, m = step(state, batch)
         losses.append(float(np.asarray(m["loss"])))
+    # pod validate(): host-sharded loader + process_allgather fetch path
+    from epipolarpose_tpu.core import make_eval_step, validate
+    ds_val = SyntheticPoseDataset(cfg, num_samples=16, is_train=False,
+                                  image_shape=(64, 64))
+    estep = make_eval_step(cfg, model, mesh=mesh)
+    vloader = epoch_loader(ds_val, 8, epoch=0, is_train=False,
+                           prefetch=1, sharding=place)
+    name_values, perf = validate(cfg, vloader, ds_val, state, estep)
     if pid == 0:
         print("POD-LOSSES", " ".join(f"{{l:.8f}}" for l in losses))
+        print("POD-PERF", f"{{perf:.6f}}")
     jax.distributed.shutdown()
 """
 
@@ -91,12 +100,15 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
     outs = [p.communicate(timeout=540) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-3000:]
-    pod_losses = None
+    pod_losses = pod_perf = None
     for so, _ in outs:
         for line in so.splitlines():
             if line.startswith("POD-LOSSES"):
                 pod_losses = [float(v) for v in line.split()[1:]]
+            if line.startswith("POD-PERF"):
+                pod_perf = float(line.split()[1])
     assert pod_losses and len(pod_losses) == 2
+    assert pod_perf is not None
 
     # single-process reference on the SAME global batches (same seeds)
     import functools
@@ -130,3 +142,13 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
         state, m = step(state, batch)
         ref.append(float(np.asarray(m["loss"])))
     np.testing.assert_allclose(pod_losses, ref, rtol=1e-5)
+
+    # single-process validate reference (same records / eval protocol)
+    from epipolarpose_tpu.core import make_eval_step, validate
+    ds_val = SyntheticPoseDataset(cfg, num_samples=16, is_train=False,
+                                  image_shape=(64, 64))
+    estep = make_eval_step(cfg, model, mesh=mesh)
+    vloader = epoch_loader(ds_val, 8, epoch=0, is_train=False, prefetch=1,
+                           sharding=place)
+    _, ref_perf = validate(cfg, vloader, ds_val, state, estep)
+    np.testing.assert_allclose(pod_perf, ref_perf, rtol=1e-4)
