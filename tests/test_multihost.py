@@ -79,6 +79,44 @@ if __name__ == "__main__":
     if pid == 0:
         print("POD-LOSSES", " ".join(f"{{l:.8f}}" for l in losses))
         print("POD-PERF", f"{{perf:.6f}}")
+
+    # self-supervised multi-view step over the pod mesh: per-host GROUP
+    # slices + camera pytrees assembled into global arrays
+    from epipolarpose_tpu.core.self_supervised import (load_teacher,
+                                                       make_ss_train_step)
+    from epipolarpose_tpu.data import SyntheticMultiviewDataset
+    cfg.MODEL.NAME = "pose3d_resnet"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.EXTRA.TARGET_TYPE = "integral"
+    cfg.MODEL.EXTRA.DEPTH_DIM = 4
+    cfg.DATASET.LABEL_SOURCE = "triangulated"
+    cfg.TPU.SS_CONF_MIN = -1.0         # random teacher still supervises
+    model3 = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state3 = create_train_state(cfg, model3, jax.random.PRNGKey(0), 10)
+    mv = SyntheticMultiviewDataset(cfg, num_frames=4, is_train=False,
+                                   image_shape=(64, 64))
+    # GT detector (global order — both processes compute the same array)
+    import jax.numpy as jnp
+    from epipolarpose_tpu.geometry import project_point_radial
+    gt_src = jnp.asarray(np.stack([
+        np.asarray(project_point_radial(
+            mv.records[i].meta["pose_world"][None],
+            mv.camera_for(mv.records[i]))[0])[0]
+        for g in mv.view_groups[:4] for i in g]))
+    detect = lambda imgs, c, s: (gt_src,
+                                 jnp.ones(gt_src.shape[:-1], jnp.float32))
+    sstep = make_ss_train_step(cfg, model3, teacher, mesh=mesh,
+                               donate=False, detect_fn=detect)
+    b = next(mv.view_batches(4, shuffle=False,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count()))
+    b.pop("joints_3d", None)
+    b = shard_batch_local(b, mesh)
+    assert b["input"].shape[0] == 4            # GLOBAL group count
+    _, m3 = sstep(state3, b)
+    if pid == 0:
+        print("POD-SS-LOSS", f"{{float(np.asarray(m3['loss'])):.8f}}")
     jax.distributed.shutdown()
 """
 
@@ -100,15 +138,18 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
     outs = [p.communicate(timeout=540) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-3000:]
-    pod_losses = pod_perf = None
+    pod_losses = pod_perf = pod_ss = None
     for so, _ in outs:
         for line in so.splitlines():
             if line.startswith("POD-LOSSES"):
                 pod_losses = [float(v) for v in line.split()[1:]]
             if line.startswith("POD-PERF"):
                 pod_perf = float(line.split()[1])
+            if line.startswith("POD-SS-LOSS"):
+                pod_ss = float(line.split()[1])
     assert pod_losses and len(pod_losses) == 2
     assert pod_perf is not None
+    assert pod_ss is not None
 
     # single-process reference on the SAME global batches (same seeds)
     import functools
@@ -152,3 +193,36 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
                            sharding=place)
     _, ref_perf = validate(cfg, vloader, ds_val, state, estep)
     np.testing.assert_allclose(pod_perf, ref_perf, rtol=1e-4)
+
+    # single-process SS reference
+    from epipolarpose_tpu.core.self_supervised import (load_teacher,
+                                                       make_ss_train_step)
+    from epipolarpose_tpu.data import SyntheticMultiviewDataset
+    cfg.MODEL.NAME = "pose3d_resnet"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.EXTRA.TARGET_TYPE = "integral"
+    cfg.MODEL.EXTRA.DEPTH_DIM = 4
+    cfg.DATASET.LABEL_SOURCE = "triangulated"
+    cfg.TPU.SS_CONF_MIN = -1.0
+    import jax.numpy as jnp
+    from epipolarpose_tpu.geometry import project_point_radial
+    model3 = get_model(cfg)
+    teacher = load_teacher(cfg)
+    state3 = create_train_state(cfg, model3, jax.random.PRNGKey(0), 10)
+    mv = SyntheticMultiviewDataset(cfg, num_frames=4, is_train=False,
+                                   image_shape=(64, 64))
+    gt_src = jnp.asarray(np.stack([
+        np.asarray(project_point_radial(
+            mv.records[i].meta["pose_world"][None],
+            mv.camera_for(mv.records[i]))[0])[0]
+        for g in mv.view_groups[:4] for i in g]))
+    detect = (lambda imgs, c, s:
+              (gt_src, jnp.ones(gt_src.shape[:-1], jnp.float32)))
+    sstep = make_ss_train_step(cfg, model3, teacher, mesh=mesh,
+                               donate=False, detect_fn=detect)
+    b = next(mv.view_batches(4, shuffle=False))
+    b.pop("joints_3d", None)
+    _, m3 = sstep(state3, shard_batch_local(b, mesh))
+    ref_ss = float(np.asarray(m3["loss"]))
+    assert ref_ss > 0.0
+    np.testing.assert_allclose(pod_ss, ref_ss, rtol=1e-5)
