@@ -295,6 +295,11 @@ def bench_e2e_input_fed(extras):
 
 
 def main():
+    # persistent compilation cache: repeated bench runs (driver reruns,
+    # A/B experiments) skip the multi-minute TPU compiles
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     bench_headline()
     if os.environ.get("BENCH_EXTRAS", "1") == "0":
         return

@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--merge-conf-min", type=float, default=0.0,
                    help="skip records whose min teacher confidence is "
                         "below this when merging")
+    p.add_argument("--refiner", default=None,
+                   help="refinement-unit checkpoint: denoise the "
+                        "triangulated poses before writing (the paper's "
+                        "offline 'SS + R' rows)")
     return p.parse_args()
 
 
@@ -73,6 +77,12 @@ def main():
     if use_gt:
         gt_src = np.stack([r.joints for r in ds.records]).astype(np.float32)
 
+    refiner = None
+    if args.refiner:
+        from epipolarpose_tpu.core.self_supervised import load_refiner
+        refiner = load_refiner(config, args.refiner)
+        print(f"refining pseudo-GT with {args.refiner}")
+
     @jax.jit
     def process(batch, det_override=None):
         G, V = batch["input"].shape[:2]
@@ -88,13 +98,21 @@ def main():
         det = det.reshape(G, V, num_joints, 2)
         conf = conf.reshape(G, V, num_joints)
         X_w, res = generate_pseudo_gt(config, det, conf, batch["camera"])
+        if refiner is not None:
+            # reference 'SS + R': the refinement unit denoises the
+            # root-relative triangulated pose before it becomes a label
+            root = X_w[:, :1]
+            X_w = root + refiner(X_w - root)
         X_cam = world_to_camera_frame(X_w[:, None], batch["camera"])
         return X_w, X_cam, conf.min(axis=1), res
 
     results = {}
     errs = []
     root = 0
-    for batch in ds.view_batches(args.groups_per_batch, shuffle=False):
+    # clamp so small datasets still produce output (view_batches drops the
+    # remainder like the reference's drop_last loader)
+    gpb = max(min(args.groups_per_batch, len(ds.view_groups)), 1)
+    for batch in ds.view_batches(gpb, shuffle=False):
         gt3 = batch.pop("joints_3d", None)
         idx = np.asarray(batch["index"])                  # (G, V)
         det_override = jnp.asarray(gt_src[idx.reshape(-1)]) if use_gt \
