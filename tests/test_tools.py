@@ -71,3 +71,45 @@ def test_cli_end_to_end(tmp_path):
         capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert (out / "train.json").exists()
+
+
+def test_export_serve_roundtrip():
+    """jax.export serving artifact: serialize the full inference
+    computation (weights baked in), deserialize WITHOUT framework code,
+    and get identical outputs — including a symbolic-batch export served
+    at two different batch sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexp
+    from export_model import build_predict_fn, export_model
+    from epipolarpose_tpu.config import config as cfg
+    from epipolarpose_tpu.core import create_train_state
+    from epipolarpose_tpu.models import get_model
+
+    cfg.MODEL.NAME = "pose3d_resnet"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.EXTRA.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
+    cfg.MODEL.EXTRA.TARGET_TYPE = "integral"
+    cfg.MODEL.EXTRA.DEPTH_DIM = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = get_model(cfg, is_train=False)
+    st = create_train_state(cfg, model, jax.random.PRNGKey(0), 1)
+
+    exported = export_model(cfg, (st.params, st.batch_stats), batch_size=-1)
+    blob = exported.serialize()
+    assert len(blob) > 1000
+
+    restored = jexp.deserialize(blob)
+    rng = np.random.default_rng(0)
+    ref_fn = build_predict_fn(cfg, (st.params, st.batch_stats))
+    for n in (2, 5):                      # symbolic batch: two sizes
+        x = jnp.asarray(rng.uniform(0, 1, (n, 64, 64, 3)), jnp.float32)
+        got = restored.call(x)
+        ref = ref_fn(x)
+        assert got.shape == (n, 17, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
