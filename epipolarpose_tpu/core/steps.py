@@ -24,7 +24,15 @@ from epipolarpose_tpu.geometry.affine import (flip_back, flip_back_volume,
 
 
 def normalize_images(x):
-    """(N, H, W, 3) in [0,1] -> ImageNet-normalized (reference Normalize)."""
+    """(N, H, W, 3) -> ImageNet-normalized (reference Normalize).
+
+    Accepts float crops in [0,1] OR uint8 crops in [0,255]: loaders ship
+    uint8 (4x fewer host->device bytes) and the /255 folds into this affine
+    inside the jit. Both paths produce identical values (u8/255 is exact in
+    f32).
+    """
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 

@@ -49,6 +49,15 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_float,
         ]
+        lib.decode_warp_batch_u8.restype = ctypes.c_int
+        lib.decode_warp_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.warp_batch_u8.restype = None
         lib.warp_batch_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -57,6 +66,14 @@ def _load():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_float,
+        ]
+        lib.warp_batch_u8_out_u8.restype = None
+        lib.warp_batch_u8_out_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
         return lib
@@ -72,12 +89,15 @@ def available() -> bool:
 
 def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
                       output_size: tuple[int, int],
-                      scale: float = 1.0 / 255.0) -> np.ndarray:
+                      scale: float = 1.0 / 255.0,
+                      dtype=np.uint8) -> np.ndarray:
     """Fused decode+warp. Ms: (N, 2, 3) src->dst affines; output (W, H).
 
-    Returns (N, H, W, 3) float32 in [0, scale*255]. Failed decodes come
-    back as zero images (matching a black frame rather than crashing the
-    epoch — count is asserted in debug builds).
+    dtype=np.uint8 (default): (N, H, W, 3) uint8 crops — 4x fewer bytes on
+    the host->device path; normalization (incl. /255) happens inside the
+    jitted step. dtype=np.float32: [0, scale*255] floats (legacy path).
+    Failed decodes come back as zero images (a black frame rather than a
+    crashed epoch).
     """
     lib = _load()
     n = len(jpeg_buffers)
@@ -88,11 +108,16 @@ def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
                                    for s in bufs])
     sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
     Ms = np.ascontiguousarray(Ms, np.float32).reshape(n, 6)
+    Mp = Ms.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if np.dtype(dtype) == np.uint8:
+        out = np.empty((n, H, W, 3), np.uint8)
+        lib.decode_warp_batch_u8(
+            ptrs, sizes, n, Mp, W, H,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
     out = np.empty((n, H, W, 3), np.float32)
     lib.decode_warp_batch(
-        ptrs, sizes, n,
-        Ms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        W, H,
+        ptrs, sizes, n, Mp, W, H,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_float(scale))
     return out

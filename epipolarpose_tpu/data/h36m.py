@@ -216,12 +216,11 @@ class H36MDataset(JointsDataset):
         else:
             import cv2
             crops = np.zeros((n,) + tuple(self.image_size[::-1]) + (3,),
-                             np.float32)
+                             np.uint8)
             for k, idx in enumerate(indices):
                 img = self._read_image(self.records[idx].image)
-                crops[k] = cv2.warpAffine(
-                    img, Ms[k], self.image_size,
-                    flags=cv2.INTER_LINEAR).astype(np.float32) / 255.0
+                crops[k] = cv2.warpAffine(img, Ms[k], self.image_size,
+                                          flags=cv2.INTER_LINEAR)
         return {"input_aug": crops, "aug_M": Ms, "aug_flip": flips}
 
     # ------------------------------------------------------------ evaluate

@@ -150,9 +150,11 @@ class JointsDataset:
                 center[0] = img.shape[1] - center[0] - 1
 
         M = A.get_affine_transform_np(center, scale, rot, self.image_size)
+        # crops ship as uint8: 4x fewer host memcpy + host->device bytes;
+        # the /255 + ImageNet normalize happen inside the jitted step
+        # (core/steps.py::normalize_images)
         crop = cv2.warpAffine(img, M, self.image_size,
                               flags=cv2.INTER_LINEAR)
-        crop = crop.astype(np.float32) * np.float32(1.0 / 255.0)
         joints_crop = joints @ M[:, :2].T + M[:, 2]
         return dict(
             input=crop, joints=joints_crop.astype(np.float32),

@@ -16,7 +16,9 @@ from epipolarpose_tpu.data.joints_dataset import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _to_uint8(images):
-    """(N, H, W, 3) float (normalized or [0,1]) -> uint8."""
+    """(N, H, W, 3) uint8, [0,1] float, or ImageNet-normalized -> uint8."""
+    if np.issubdtype(np.asarray(images).dtype, np.integer):
+        return np.asarray(images, np.uint8)
     imgs = np.asarray(images, np.float32)
     if imgs.min() < -0.5:      # normalized input: undo ImageNet transform
         imgs = imgs * IMAGENET_STD + IMAGENET_MEAN

@@ -71,6 +71,15 @@ int decode_one(const uint8_t* buf, size_t size, std::vector<uint8_t>& out,
     return 0;
 }
 
+// Output-type adapters: float crops get the caller's scale (e.g. 1/255);
+// uint8 crops round-to-nearest (scale is ignored — values stay in 0..255,
+// matching cv2.warpAffine's uint8 output up to its fixed-point rounding).
+inline void store_px(float acc, float scale, float* o) { *o = acc * scale; }
+inline void store_px(float acc, float /*scale*/, uint8_t* o) {
+    const float v = acc + 0.5f;
+    *o = v <= 0.f ? 0 : (v >= 255.f ? 255 : static_cast<uint8_t>(v));
+}
+
 inline void invert_affine(const float* M, double* inv) {
     const double a = M[0], b = M[1], c = M[2];
     const double d = M[3], e = M[4], f = M[5];
@@ -85,8 +94,9 @@ inline void invert_affine(const float* M, double* inv) {
 }
 
 // Border-handling bilinear sample (BORDER_CONSTANT = 0), scalar path.
+template <typename OutT>
 inline void sample_checked(const uint8_t* src, int sw, int sh,
-                           double sx, double sy, float scale, float* o) {
+                           double sx, double sy, float scale, OutT* o) {
     const int x0 = static_cast<int>(std::floor(sx));
     const int y0 = static_cast<int>(std::floor(sy));
     const float fx = static_cast<float>(sx - x0);
@@ -106,9 +116,9 @@ inline void sample_checked(const uint8_t* src, int sw, int sh,
             acc[2] += wxy * p[2];
         }
     }
-    o[0] = acc[0] * scale;
-    o[1] = acc[1] * scale;
-    o[2] = acc[2] * scale;
+    store_px(acc[0], scale, o + 0);
+    store_px(acc[1], scale, o + 1);
+    store_px(acc[2], scale, o + 2);
 }
 
 // Bilinear warp into a float32 [0,1] crop from a pre-inverted (dst->src)
@@ -116,8 +126,9 @@ inline void sample_checked(const uint8_t* src, int sw, int sh,
 // split into [border | interior | border]: the interior span (2x2 stencil
 // fully inside) runs branch-free in float — the hot path for person crops,
 // which are interior for all but a few edge rows.
+template <typename OutT>
 void warp_one_inv(const uint8_t* src, int sw, int sh, const double* inv,
-                  float* dst, int dw, int dh, float scale) {
+                  OutT* dst, int dw, int dh, float scale) {
     for (int y = 0; y < dh; ++y) {
         const double sx0 = inv[1] * y + inv[2];
         const double sy0 = inv[4] * y + inv[5];
@@ -141,7 +152,7 @@ void warp_one_inv(const uint8_t* src, int sw, int sh, const double* inv,
             static_cast<double>(dw), xb)));
         if (xi1 < xi0) { xi0 = 0; xi1 = 0; }
 
-        float* orow = dst + static_cast<size_t>(y) * dw * 3;
+        OutT* orow = dst + static_cast<size_t>(y) * dw * 3;
         for (int x = 0; x < xi0; ++x)
             sample_checked(src, sw, sh, inv[0] * x + sx0, inv[3] * x + sy0,
                            scale, orow + x * 3);
@@ -156,13 +167,13 @@ void warp_one_inv(const uint8_t* src, int sw, int sh, const double* inv,
             const float w10 = (1.f - fx) * fy, w11 = fx * fy;
             const uint8_t* p0 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
             const uint8_t* p1 = p0 + stride;
-            float* o = orow + x * 3;
-            o[0] = (w00 * p0[0] + w01 * p0[3] + w10 * p1[0] + w11 * p1[3])
-                   * scale;
-            o[1] = (w00 * p0[1] + w01 * p0[4] + w10 * p1[1] + w11 * p1[4])
-                   * scale;
-            o[2] = (w00 * p0[2] + w01 * p0[5] + w10 * p1[2] + w11 * p1[5])
-                   * scale;
+            OutT* o = orow + x * 3;
+            store_px(w00 * p0[0] + w01 * p0[3] + w10 * p1[0] + w11 * p1[3],
+                     scale, o + 0);
+            store_px(w00 * p0[1] + w01 * p0[4] + w10 * p1[1] + w11 * p1[4],
+                     scale, o + 1);
+            store_px(w00 * p0[2] + w01 * p0[5] + w10 * p1[2] + w11 * p1[5],
+                     scale, o + 2);
         }
         for (int x = xi1; x < dw; ++x)
             sample_checked(src, sw, sh, inv[0] * x + sx0, inv[3] * x + sy0,
@@ -170,8 +181,9 @@ void warp_one_inv(const uint8_t* src, int sw, int sh, const double* inv,
     }
 }
 
+template <typename OutT>
 void warp_one_u8(const uint8_t* src, int sw, int sh, const float* M,
-                 float* dst, int dw, int dh, float scale) {
+                 OutT* dst, int dw, int dh, float scale) {
     double inv[6];
     invert_affine(M, inv);
     warp_one_inv(src, sw, sh, inv, dst, dw, dh, scale);
@@ -190,16 +202,10 @@ inline int pick_scale_num(const double* inv) {
     return num < 1 ? 1 : (num > 8 ? 8 : num);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Fused batch pipeline: jpeg bytes -> decode -> warp -> float32 [0,1] crops.
-// jpegs: array of n pointers; sizes: n byte counts; Ms: n*6 src->dst
-// affines; out: n*dh*dw*3 floats. Returns number of failed decodes.
-int decode_warp_batch(const uint8_t** jpegs, const size_t* sizes, int n,
-                      const float* Ms, int dw, int dh, float* out,
-                      float scale) {
+template <typename OutT>
+int decode_warp_batch_impl(const uint8_t** jpegs, const size_t* sizes, int n,
+                           const float* Ms, int dw, int dh, OutT* out,
+                           float scale) {
     int failures = 0;
 #pragma omp parallel for schedule(dynamic) reduction(+ : failures)
     for (int i = 0; i < n; ++i) {
@@ -211,7 +217,7 @@ int decode_warp_batch(const uint8_t** jpegs, const size_t* sizes, int n,
         if (decode_one(jpegs[i], sizes[i], img, w, h, snum,
                        &full_w, &full_h) != 0) {
             std::memset(out + static_cast<size_t>(i) * dh * dw * 3, 0,
-                        sizeof(float) * dh * dw * 3);
+                        sizeof(OutT) * dh * dw * 3);
             failures += 1;
             continue;
         }
@@ -230,6 +236,27 @@ int decode_warp_batch(const uint8_t** jpegs, const size_t* sizes, int n,
     return failures;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Fused batch pipeline: jpeg bytes -> decode -> warp -> float32 [0,1] crops.
+// jpegs: array of n pointers; sizes: n byte counts; Ms: n*6 src->dst
+// affines; out: n*dh*dw*3 floats. Returns number of failed decodes.
+int decode_warp_batch(const uint8_t** jpegs, const size_t* sizes, int n,
+                      const float* Ms, int dw, int dh, float* out,
+                      float scale) {
+    return decode_warp_batch_impl(jpegs, sizes, n, Ms, dw, dh, out, scale);
+}
+
+// Same pipeline, uint8 crops (round-to-nearest): 4x fewer bytes to memcpy
+// on host and to ship host->device — normalization happens inside the
+// jitted step (core/steps.py::normalize_images handles integer input).
+int decode_warp_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
+                         const float* Ms, int dw, int dh, uint8_t* out) {
+    return decode_warp_batch_impl(jpegs, sizes, n, Ms, dw, dh, out, 1.0f);
+}
+
 // Batch warp of pre-decoded uint8 RGB images (all same size).
 void warp_batch_u8(const uint8_t* src, int n, int sw, int sh,
                    const float* Ms, int dw, int dh, float* out,
@@ -240,6 +267,18 @@ void warp_batch_u8(const uint8_t* src, int n, int sw, int sh,
                     Ms + static_cast<size_t>(i) * 6,
                     out + static_cast<size_t>(i) * dh * dw * 3, dw, dh,
                     scale);
+    }
+}
+
+// uint8-out batch warp of pre-decoded uint8 RGB images.
+void warp_batch_u8_out_u8(const uint8_t* src, int n, int sw, int sh,
+                          const float* Ms, int dw, int dh, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < n; ++i) {
+        warp_one_u8(src + static_cast<size_t>(i) * sh * sw * 3, sw, sh,
+                    Ms + static_cast<size_t>(i) * 6,
+                    out + static_cast<size_t>(i) * dh * dw * 3, dw, dh,
+                    1.0f);
     }
 }
 

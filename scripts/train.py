@@ -151,8 +151,11 @@ def main():
             jax.profiler.stop_trace()
             logger.info(f"profiler trace written to {tb_dir}")
 
-        vloader = epoch_loader(valid_ds, int(config.TEST.BATCH_SIZE),
-                               epoch, is_train=False, sharding=place)
+        # reference scales the eval loader by device count too
+        # (DataLoader(bs=TEST.BATCH_SIZE*len(gpus)) in scripts/train.py [H])
+        vloader = epoch_loader(
+            valid_ds, int(config.TEST.BATCH_SIZE) * mesh.shape["data"],
+            epoch, is_train=False, sharding=place)
         name_values, perf = validate(config, vloader, valid_ds, state,
                                      estep, writer, output_dir)
         best_perf = (max if higher_better else min)(best_perf, perf)

@@ -71,8 +71,11 @@ def main():
                            flip_pairs=getattr(ds, "flip_pairs", ()))
     import functools
     from epipolarpose_tpu.parallel import shard_batch_local
-    loader = epoch_loader(ds, int(config.TEST.BATCH_SIZE), 0,
-                          is_train=False,
+    # eval batch scales by device count like the reference's
+    # DataLoader(bs=TEST.BATCH_SIZE*len(gpus)) [H]
+    loader = epoch_loader(ds,
+                          int(config.TEST.BATCH_SIZE) * mesh.shape["data"],
+                          0, is_train=False,
                           sharding=functools.partial(shard_batch_local,
                                                      mesh=mesh))
     name_values, perf = validate(config, loader, ds, state, estep,

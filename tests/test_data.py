@@ -20,8 +20,9 @@ def test_synthetic_batch_shapes():
     assert b["input"].shape == (4, 256, 256, 3)
     assert b["joints"].shape == (4, 16, 2)
     assert b["joints_vis"].shape == (4, 16)
-    assert b["input"].dtype == np.float32
-    assert 0.0 <= b["input"].min() and b["input"].max() <= 1.0
+    # crops ship as uint8 (4x fewer host->device bytes); normalization
+    # happens inside the jitted step
+    assert b["input"].dtype == np.uint8
 
 
 def test_synthetic_joints_land_on_blobs():

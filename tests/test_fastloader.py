@@ -32,8 +32,14 @@ def test_decode_warp_matches_cv2(rng):
     scales = np.repeat(rng.uniform(0.3, 0.5, (n, 1)), 2, 1).astype(np.float32)
     rots = rng.uniform(-30, 30, n).astype(np.float32)
     Ms = np.asarray(get_affine_transform(centers, scales, rots, (64, 64)))
-    out = fastloader.decode_warp_batch(bufs, Ms, (64, 64))
+    out = fastloader.decode_warp_batch(bufs, Ms, (64, 64),
+                                       dtype=np.float32)
+    out_u8 = fastloader.decode_warp_batch(bufs, Ms, (64, 64))
     assert out.shape == (n, 64, 64, 3)
+    assert out_u8.dtype == np.uint8
+    # u8 output is the rounded f32 output (the default shipped dtype)
+    np.testing.assert_allclose(
+        out_u8.astype(np.float32), np.rint(out * 255.0), atol=1.0)
     for i in range(n):
         oracle = cv2.warpAffine(imgs[i].astype(np.float32) / 255.0, Ms[i],
                                 (64, 64), flags=cv2.INTER_LINEAR)
@@ -72,9 +78,11 @@ def test_dataset_native_path_matches_fallback(tmp_path, rng):
     b_cv2 = ds.get_batch([0, 1, 2, 3])
     np.testing.assert_allclose(b_native["joints"], b_cv2["joints"],
                                atol=1e-3)
-    diff = np.abs(b_native["input"] - b_cv2["input"])
-    assert np.median(diff) < 2 / 255.0
-    assert (diff < 8 / 255.0).mean() > 0.97
+    assert b_native["input"].dtype == np.uint8 == b_cv2["input"].dtype
+    diff = np.abs(b_native["input"].astype(np.int16)
+                  - b_cv2["input"].astype(np.int16))
+    assert np.median(diff) < 2.0
+    assert (diff < 8).mean() > 0.97
 
 
 def test_auto_calibration_picks_a_path(tmp_path, rng):
@@ -144,7 +152,8 @@ def test_dct_scaled_decode_quality(rng):
         np.array([[320.0, 320.0]], np.float32),
         np.array([[2.56, 2.56]], np.float32), np.zeros(1, np.float32),
         (128, 128)))
-    out = fastloader.decode_warp_batch([enc.tobytes()], M, (128, 128))
+    out = fastloader.decode_warp_batch([enc.tobytes()], M, (128, 128),
+                                       dtype=np.float32)
     oracle = cv2.warpAffine(full.astype(np.float32) / 255.0, M[0],
                             (128, 128), flags=cv2.INTER_LINEAR)
     d = np.abs(out[0] - oracle)

@@ -192,7 +192,15 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
     vloader = epoch_loader(ds_val, 8, epoch=0, is_train=False, prefetch=1,
                            sharding=place)
     _, ref_perf = validate(cfg, vloader, ds_val, state, estep)
-    np.testing.assert_allclose(pod_perf, ref_perf, rtol=1e-4)
+    # PCK is a DISCRETE metric over 16x16=256 thresholded joints. Pod and
+    # single-process runs execute the same partitioned program under
+    # different process topologies, and XLA:CPU f32 ULP differences
+    # (thread-pool reduction order) can flip one borderline joint across
+    # the 0.5 threshold with a random-init net. Content + math equality is
+    # already pinned at rtol 1e-5 by the train/SS loss checks; here allow
+    # at most ONE flipped joint (100/256 = 0.39 PCK points).
+    assert abs(pod_perf - ref_perf) <= 100.0 / 256 + 1e-6, \
+        (pod_perf, ref_perf)
 
     # single-process SS reference
     from epipolarpose_tpu.core.self_supervised import (load_teacher,
