@@ -67,6 +67,17 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_float,
         ]
+        lib.decode_warp2_batch_u8.restype = ctypes.c_int
+        lib.decode_warp2_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.warp_batch_u8_out_u8.restype = None
         lib.warp_batch_u8_out_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -121,6 +132,35 @@ def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_float(scale))
     return out
+
+
+def decode_warp2_batch(jpeg_buffers: list[bytes], Ms1: np.ndarray,
+                       Ms2: np.ndarray, output_size: tuple[int, int]):
+    """Decode each JPEG once, warp through TWO affines -> two uint8 crops.
+
+    The self-supervised dual-crop path: clean teacher crop (Ms1) +
+    augmented student crop (Ms2) share one decode. Returns (crops1, crops2)
+    each (N, H, W, 3) uint8.
+    """
+    lib = _load()
+    n = len(jpeg_buffers)
+    W, H = int(output_size[0]), int(output_size[1])
+    bufs = [ctypes.create_string_buffer(b, len(b)) for b in jpeg_buffers]
+    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(s, ctypes.c_void_p)
+                                   for s in bufs])
+    sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    Ms1 = np.ascontiguousarray(Ms1, np.float32).reshape(n, 6)
+    Ms2 = np.ascontiguousarray(Ms2, np.float32).reshape(n, 6)
+    out1 = np.empty((n, H, W, 3), np.uint8)
+    out2 = np.empty((n, H, W, 3), np.uint8)
+    lib.decode_warp2_batch_u8(
+        ptrs, sizes, n,
+        Ms1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        Ms2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        W, H,
+        out1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out1, out2
 
 
 def warp_batch(images_u8: np.ndarray, Ms: np.ndarray,

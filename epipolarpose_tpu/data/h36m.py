@@ -151,14 +151,22 @@ class H36MDataset(JointsDataset):
                     host_shard_indices
                 gidx = host_shard_indices(gidx, process_index, process_count)
             flat = [i for g in gidx for i in self.view_groups[g]]
-            was_train = self.is_train
-            try:
-                self.is_train = False        # clean crops for the teacher
-                batch = self.get_batch(flat, seed=seed + b)
-            finally:
-                self.is_train = was_train
+            batch = None
             if augment:
-                batch.update(self._augmented_crops(flat, seed=seed + b + 1))
+                # fused dual-crop fast path: ONE decode per frame feeds both
+                # the clean teacher crop and the augmented student crop
+                batch = self._dual_batch_native(flat, seed_clean=seed + b,
+                                                seed_aug=seed + b + 1)
+            if batch is None:
+                was_train = self.is_train
+                try:
+                    self.is_train = False    # clean crops for the teacher
+                    batch = self.get_batch(flat, seed=seed + b)
+                finally:
+                    self.is_train = was_train
+                if augment:
+                    batch.update(self._augmented_crops(flat,
+                                                       seed=seed + b + 1))
             V = len(CAMERA_IDS)
             out = {k: v.reshape((len(gidx), V) + v.shape[1:])
                    for k, v in batch.items()}
@@ -170,13 +178,11 @@ class H36MDataset(JointsDataset):
                 out["camera"] = cam
             yield out
 
-    def _augmented_crops(self, indices, seed: int) -> dict:
-        """Second (augmented) crop per sample for dual-crop SS.
+    def _aug_affines(self, indices, seed: int):
+        """Augmented-crop affines + flip flags for dual-crop SS.
 
-        Fast path: ONE fused native decode+warp call for the whole batch
-        (rotation/flip folded into the affines — the C++ loader handles
-        arbitrary affines and DCT-scales the decode); cv2 fallback
-        otherwise."""
+        Returns (Ms (N, 2, 3) source->crop with random scale/rotation and a
+        crop-space horizontal flip folded in, flips (N,) float 0/1)."""
         n = len(indices)
         Ms = np.zeros((n, 2, 3), np.float32)
         flips = np.zeros(n, np.float32)
@@ -199,6 +205,62 @@ class H36MDataset(JointsDataset):
                      (F[:, :2] @ M[:, 2] + F[:, 2])[:, None]], axis=1)
             Ms[k] = M
             flips[k] = float(do_flip)
+        return Ms, flips
+
+    def _dual_batch_native(self, indices, seed_clean: int, seed_aug: int):
+        """Fused dual-crop batch: decode each frame ONCE, warp twice.
+
+        Produces the full multi-view batch (clean teacher crop as ``input``
+        + augmented student crop as ``input_aug``) through one
+        decode_warp2 native call — halves the dominant host decode cost vs
+        get_batch + _augmented_crops. Returns None when the native loader
+        is unavailable/ineligible (callers fall back to the two-pass path).
+        """
+        if not self._use_native(indices, seed_clean):
+            return None
+        from epipolarpose_tpu.data import fastloader
+        from epipolarpose_tpu.data.zipreader import is_zip_path, read_bytes
+        from epipolarpose_tpu.geometry import affine as A
+
+        def read(path):
+            if is_zip_path(path):
+                return read_bytes(path)
+            with open(path, "rb") as f:
+                return f.read()
+
+        recs = [self.records[i] for i in indices]
+        bufs = list(self.pool.map(lambda r: read(r.image), recs))
+        centers = np.stack([r.center for r in recs]).astype(np.float32)
+        scales = np.stack([r.scale for r in recs]).astype(np.float32)
+        joints = np.stack([r.joints for r in recs]).astype(np.float32)
+        vis = np.stack([r.joints_vis for r in recs]).astype(np.float32)
+        n = len(recs)
+        M1 = A.get_affine_transform_np(centers, scales,
+                                       np.zeros(n, np.float32),
+                                       self.image_size)
+        M2, flips = self._aug_affines(indices, seed_aug)
+        crops, crops_aug = fastloader.decode_warp2_batch(
+            bufs, M1, M2, self.image_size)
+        joints_crop = np.einsum("nij,nkj->nki", M1[:, :, :2], joints) \
+            + M1[:, None, :, 2]
+        batch = dict(input=crops, joints=joints_crop.astype(np.float32),
+                     joints_vis=vis, center=centers, scale=scales,
+                     rotation=np.zeros(n, np.float32),
+                     index=np.asarray(indices, np.int64),
+                     input_aug=crops_aug, aug_M=M2, aug_flip=flips)
+        if recs[0].joints_3d is not None:
+            batch["joints_3d"] = np.stack(
+                [r.joints_3d for r in recs]).astype(np.float32)
+        return batch
+
+    def _augmented_crops(self, indices, seed: int) -> dict:
+        """Second (augmented) crop per sample for dual-crop SS.
+
+        Fast path: ONE fused native decode+warp call for the whole batch
+        (rotation/flip folded into the affines — the C++ loader handles
+        arbitrary affines and DCT-scales the decode); cv2 fallback
+        otherwise."""
+        Ms, flips = self._aug_affines(indices, seed)
 
         if self._use_native(indices, seed):
             from epipolarpose_tpu.data import fastloader
@@ -215,8 +277,9 @@ class H36MDataset(JointsDataset):
             crops = fastloader.decode_warp_batch(bufs, Ms, self.image_size)
         else:
             import cv2
-            crops = np.zeros((n,) + tuple(self.image_size[::-1]) + (3,),
-                             np.uint8)
+            crops = np.zeros(
+                (len(indices),) + tuple(self.image_size[::-1]) + (3,),
+                np.uint8)
             for k, idx in enumerate(indices):
                 img = self._read_image(self.records[idx].image)
                 crops[k] = cv2.warpAffine(img, Ms[k], self.image_size,

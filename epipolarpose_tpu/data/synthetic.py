@@ -178,6 +178,8 @@ from epipolarpose_tpu.data.h36m import H36MDataset as _H36M  # noqa: E402
 
 SyntheticMultiviewDataset.view_batches = _H36M.view_batches
 SyntheticMultiviewDataset._augmented_crops = _H36M._augmented_crops
+SyntheticMultiviewDataset._aug_affines = _H36M._aug_affines
+SyntheticMultiviewDataset._dual_batch_native = _H36M._dual_batch_native
 SyntheticMultiviewDataset._preds_to_camera_mm = _H36M._preds_to_camera_mm
 SyntheticMultiviewDataset.pss_centers = _H36M.pss_centers
 

@@ -257,6 +257,49 @@ int decode_warp_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
     return decode_warp_batch_impl(jpegs, sizes, n, Ms, dw, dh, out, 1.0f);
 }
 
+// Decode ONCE, warp TWICE (uint8 out): the self-supervised dual-crop path
+// needs a clean teacher crop (Ms1) AND an augmented student crop (Ms2) of
+// the same frame — sharing the decode halves the dominant host cost.
+// DCT-scaling uses the LESS aggressive of the two affines' shrink factors
+// so both crops keep full-decode quality parity.
+int decode_warp2_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
+                          const float* Ms1, const float* Ms2,
+                          int dw, int dh, uint8_t* out1, uint8_t* out2) {
+    int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+    for (int i = 0; i < n; ++i) {
+        std::vector<uint8_t> img;
+        int w = 0, h = 0, full_w = 0, full_h = 0;
+        double inv1[6], inv2[6];
+        invert_affine(Ms1 + static_cast<size_t>(i) * 6, inv1);
+        invert_affine(Ms2 + static_cast<size_t>(i) * 6, inv2);
+        const int snum = std::max(pick_scale_num(inv1),
+                                  pick_scale_num(inv2));
+        uint8_t* o1 = out1 + static_cast<size_t>(i) * dh * dw * 3;
+        uint8_t* o2 = out2 + static_cast<size_t>(i) * dh * dw * 3;
+        if (decode_one(jpegs[i], sizes[i], img, w, h, snum,
+                       &full_w, &full_h) != 0) {
+            std::memset(o1, 0, static_cast<size_t>(dh) * dw * 3);
+            std::memset(o2, 0, static_cast<size_t>(dh) * dw * 3);
+            failures += 1;
+            continue;
+        }
+        if (w != full_w || h != full_h) {
+            const double rx = static_cast<double>(w) / full_w;
+            const double ry = static_cast<double>(h) / full_h;
+            for (double* inv : {inv1, inv2}) {
+                inv[0] *= rx; inv[1] *= rx;
+                inv[2] = inv[2] * rx + 0.5 * rx - 0.5;
+                inv[3] *= ry; inv[4] *= ry;
+                inv[5] = inv[5] * ry + 0.5 * ry - 0.5;
+            }
+        }
+        warp_one_inv(img.data(), w, h, inv1, o1, dw, dh, 1.0f);
+        warp_one_inv(img.data(), w, h, inv2, o2, dw, dh, 1.0f);
+    }
+    return failures;
+}
+
 // Batch warp of pre-decoded uint8 RGB images (all same size).
 void warp_batch_u8(const uint8_t* src, int n, int sw, int sh,
                    const float* Ms, int dw, int dh, float* out,

@@ -172,6 +172,50 @@ def test_h36m_file_roundtrip(tmp_path):
         h36m_mod.CAMERA_IDS = orig
 
 
+def test_h36m_dual_crop_native_matches_two_pass(tmp_path):
+    """The fused decode-once/warp-twice SS batch path must produce the same
+    batch as the two-pass path (clean get_batch + _augmented_crops)."""
+    from epipolarpose_tpu.data import fastloader
+    import pytest
+    if not fastloader.available():
+        pytest.skip("native loader unavailable")
+    from epipolarpose_tpu.data.h36m import H36MDataset
+    from epipolarpose_tpu.data.synthetic import write_synthetic_h36m
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.DATASET.SUBSAMPLE = 1
+    cfg.TPU.NATIVE_LOADER = True
+    write_synthetic_h36m(str(tmp_path), cfg, num_frames=3)
+    import epipolarpose_tpu.data.h36m as h36m_mod
+    orig = h36m_mod.CAMERA_IDS
+    h36m_mod.CAMERA_IDS = ("0", "1", "2", "3")
+    try:
+        ds = H36MDataset(cfg, str(tmp_path), "train", is_train=True)
+        dual = next(ds.view_batches(2, shuffle=False, augment=True))
+        assert dual["input_aug"].shape == dual["input"].shape
+        assert dual["input"].dtype == np.uint8
+
+        # two-pass reference with the same seeds (view_batches seed logic)
+        flat = [i for g in ds.view_groups[:2] for i in g]
+        ds.is_train = False
+        ref = ds.get_batch(flat, seed=0)
+        ds.is_train = True
+        ref.update(ds._augmented_crops(flat, seed=1))
+        V = 4
+        for k in ("joints", "center", "scale", "aug_M", "aug_flip"):
+            np.testing.assert_allclose(
+                dual[k].reshape(ref[k].shape), ref[k], atol=1e-5,
+                err_msg=k)
+        for k in ("input", "input_aug"):
+            d = np.abs(dual[k].reshape(ref[k].shape).astype(np.int16)
+                       - ref[k].astype(np.int16))
+            assert np.median(d) < 2.0, k
+            assert (d < 8).mean() > 0.97, k
+    finally:
+        h36m_mod.CAMERA_IDS = orig
+        cfg.TPU.NATIVE_LOADER = "auto"
+
+
 def test_host_shard_indices_partition():
     """Pod DP slicing: per-host slices are disjoint, contiguous, ordered,
     and their union is the global batch."""
