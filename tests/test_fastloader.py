@@ -136,6 +136,49 @@ def test_native_throughput_beats_cv2_threadpool(tmp_path, rng):
     assert t_native < t_cv2 * 2.0   # generous: no regression
 
 
+def test_decode_warp2_matches_two_single_calls(rng):
+    """decode_warp2_batch (shared decode, two affines) must agree with two
+    independent decode_warp_batch calls — incl. when one affine engages a
+    DCT-scaled decode and the other does not (the fused call must pick the
+    LESS aggressive scale for both)."""
+    size = 640
+    img = rng.uniform(0, 255, (size, size, 3)).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 3.0)
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    bufs = [enc.tobytes()] * 2
+    # M1: near-identity crop (no DCT scaling); M2: 4x shrink (scale_num 2)
+    M1 = np.asarray(get_affine_transform(
+        np.full((2, 2), 320.0, np.float32),
+        np.full((2, 2), 0.64, np.float32), np.zeros(2, np.float32),
+        (128, 128)))
+    M2 = np.asarray(get_affine_transform(
+        np.full((2, 2), 320.0, np.float32),
+        np.full((2, 2), 2.56, np.float32),
+        np.array([15.0, -20.0], np.float32), (128, 128)))
+    o1, o2 = fastloader.decode_warp2_batch(bufs, M1, M2, (128, 128))
+    s1 = fastloader.decode_warp_batch(bufs, M1, (128, 128))
+    s2 = fastloader.decode_warp_batch(bufs, M2, (128, 128))
+    # fused call decodes at the LESS aggressive scale -> o1 is exact vs s1;
+    # o2 may differ slightly from s2 (which decoded at its own scale)
+    np.testing.assert_array_equal(o1, s1)
+    d = np.abs(o2.astype(np.int16) - s2.astype(np.int16))
+    assert np.median(d) < 2.0
+    assert np.quantile(d, 0.99) < 12.0
+
+
+def test_decode_warp2_bad_jpeg_zeroes_both(rng):
+    bufs, _ = _jpegs(rng, n=2)
+    bufs[0] = b"\xff\xd8 truncated nonsense"
+    M = np.tile(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32), (2, 1, 1))
+    o1, o2 = fastloader.decode_warp2_batch(bufs, M, M, (32, 32))
+    np.testing.assert_array_equal(o1[0], 0)
+    np.testing.assert_array_equal(o2[0], 0)
+    assert o1[1].max() > 0 and o2[1].max() > 0
+    np.testing.assert_array_equal(o1[1], o2[1])
+
+
 def test_dct_scaled_decode_quality(rng):
     """Heavily-downscaled crops decode at reduced DCT resolution (libjpeg
     scale_num); the result must stay close to a full-decode + warp oracle

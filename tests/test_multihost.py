@@ -135,7 +135,10 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True, env=env)
              for i in range(2)]
-    outs = [p.communicate(timeout=540) for p in procs]
+    # generous: two cold-compiling JAX processes share this host's core(s)
+    # with whatever else the suite is running — contention, not hangs,
+    # is the realistic way to hit this limit
+    outs = [p.communicate(timeout=1200) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-3000:]
     pod_losses = pod_perf = pod_ss = None
