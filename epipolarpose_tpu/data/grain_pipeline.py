@@ -47,16 +47,24 @@ class _SampleSource:
 
 def grain_epoch_loader(dataset, batch_size: int, epoch: int,
                        is_train: bool = True, worker_count: int = 0,
-                       drop_remainder: bool = True) -> Iterator[dict]:
+                       drop_remainder: bool | None = None) -> Iterator[dict]:
     """One epoch of host batches through grain's multi-process DataLoader.
 
     ``worker_count=0`` runs in-process (tests / few-core hosts);
     ``worker_count>0`` forks worker processes like the reference's
     DataLoader. Batches are dicts of stacked numpy arrays with the same
     keys as ``JointsDataset.get_batch``.
+
+    ``drop_remainder`` defaults to ``is_train`` (the reference's train
+    loader drops the tail, eval must see every sample); a short eval tail
+    is padded by repeating its last sample so batch shapes stay static
+    under jit — identical to ``JointsDataset.batches``, whose padding the
+    eval loop trims by record count.
     """
     import grain.python as gp
 
+    if drop_remainder is None:
+        drop_remainder = bool(is_train)
     source = _SampleSource(dataset, seed=epoch)
     sampler = gp.IndexSampler(
         num_records=len(source),
@@ -75,4 +83,10 @@ def grain_epoch_loader(dataset, batch_size: int, epoch: int,
     )
     for batch in loader:
         # grain stacks dict-of-array samples into dict-of-batched-arrays
-        yield {k: np.asarray(v) for k, v in batch.items()}
+        out = {k: np.asarray(v) for k, v in batch.items()}
+        short = next(iter(out.values())).shape[0]
+        if short < batch_size:                  # pad the eval remainder
+            out = {k: np.concatenate(
+                [v, np.repeat(v[-1:], batch_size - short, axis=0)])
+                for k, v in out.items()}
+        yield out

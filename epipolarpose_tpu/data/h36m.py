@@ -219,17 +219,11 @@ class H36MDataset(JointsDataset):
         if not self._use_native(indices, seed_clean):
             return None
         from epipolarpose_tpu.data import fastloader
-        from epipolarpose_tpu.data.zipreader import is_zip_path, read_bytes
+        from epipolarpose_tpu.data.zipreader import read_file_bytes
         from epipolarpose_tpu.geometry import affine as A
 
-        def read(path):
-            if is_zip_path(path):
-                return read_bytes(path)
-            with open(path, "rb") as f:
-                return f.read()
-
         recs = [self.records[i] for i in indices]
-        bufs = list(self.pool.map(lambda r: read(r.image), recs))
+        bufs = list(self.pool.map(lambda r: read_file_bytes(r.image), recs))
         centers = np.stack([r.center for r in recs]).astype(np.float32)
         scales = np.stack([r.scale for r in recs]).astype(np.float32)
         joints = np.stack([r.joints for r in recs]).astype(np.float32)
@@ -264,16 +258,9 @@ class H36MDataset(JointsDataset):
 
         if self._use_native(indices, seed):
             from epipolarpose_tpu.data import fastloader
-            from epipolarpose_tpu.data.zipreader import is_zip_path, \
-                read_bytes
-
-            def read(path):
-                if is_zip_path(path):
-                    return read_bytes(path)
-                with open(path, "rb") as f:
-                    return f.read()
+            from epipolarpose_tpu.data.zipreader import read_file_bytes
             bufs = list(self.pool.map(
-                lambda i: read(self.records[i].image), indices))
+                lambda i: read_file_bytes(self.records[i].image), indices))
             crops = fastloader.decode_warp_batch(bufs, Ms, self.image_size)
         else:
             import cv2
@@ -360,6 +347,7 @@ class H36MDataset(JointsDataset):
             if len(ps) >= 2 * k:
                 poses = np.stack(ps)
                 poses = poses - poses[:, self.root_idx:self.root_idx + 1]
+        from_train_split = poses is not None
         if poses is None:
             if fallback_gts is None or len(fallback_gts) < 2 * k:
                 return None
@@ -367,7 +355,10 @@ class H36MDataset(JointsDataset):
 
         centers = np.asarray(fit_pss_centers(
             jax.random.PRNGKey(0), poses.astype(np.float32), k=k))
-        if cache:
+        # cache ONLY train-split fits: persisting an eval-set fallback fit
+        # would permanently pin the skewed centers the train-split protocol
+        # exists to avoid, even after train.json appears
+        if cache and from_train_split:
             try:
                 np.save(cache, centers)
             except OSError:

@@ -156,10 +156,17 @@ class JointsDataset:
         crop = cv2.warpAffine(img, M, self.image_size,
                               flags=cv2.INTER_LINEAR)
         joints_crop = joints @ M[:, :2].T + M[:, 2]
-        return dict(
+        out = dict(
             input=crop, joints=joints_crop.astype(np.float32),
             joints_vis=vis, center=center, scale=scale,
             rotation=np.float32(rot), index=np.int64(idx))
+        if rec.joints_3d is not None:
+            # per-sample paths (grain workers) must carry the 3D labels
+            # too — get_batch adds them batch-wise, but grain bypasses it;
+            # without this, integral targets fall back to z=0 with FULL
+            # weight (ops/integral.py) and depth silently trains to zero
+            out["joints_3d"] = rec.joints_3d.astype(np.float32)
+        return out
 
     def get_batch(self, indices: Sequence[int], seed: int = 0) -> dict:
         """Decode + augment ``indices`` in parallel; stack into one dict.
@@ -216,11 +223,15 @@ class JointsDataset:
             return True
         if getattr(self, "_native_calibrated", None) is None:
             import time
+            # probe a small slice: per-image decode dominates both paths,
+            # so 8 samples rank them reliably without paying two extra
+            # full-batch decodes for timing alone
+            probe = list(indices)[:8]
             t0 = time.perf_counter()
-            self._get_batch_native(indices, seed)
+            self._get_batch_native(probe, seed)
             t_native = time.perf_counter() - t0
             t0 = time.perf_counter()
-            self._get_batch_pool(indices, seed)
+            self._get_batch_pool(probe, seed)
             t_pool = time.perf_counter() - t0
             self._native_calibrated = bool(t_native <= t_pool)
             import logging
@@ -234,17 +245,11 @@ class JointsDataset:
         if not self._native_eligible(indices):
             return None
         from epipolarpose_tpu.data import fastloader
-        from epipolarpose_tpu.data.zipreader import is_zip_path, read_bytes
+        from epipolarpose_tpu.data.zipreader import read_file_bytes
         from epipolarpose_tpu.geometry import affine as A
 
-        def read(path):
-            if is_zip_path(path):
-                return read_bytes(path)
-            with open(path, "rb") as f:
-                return f.read()
-
         recs = [self.records[i] for i in indices]
-        bufs = list(self.pool.map(lambda r: read(r.image), recs))
+        bufs = list(self.pool.map(lambda r: read_file_bytes(r.image), recs))
 
         n = len(recs)
         centers = np.stack([r.center for r in recs]).astype(np.float32)

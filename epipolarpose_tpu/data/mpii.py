@@ -50,9 +50,11 @@ class MPIIDataset(JointsDataset):
             if c[0] != -1:
                 c[1] = c[1] + 15 * s[1]
                 s = s * 1.25
-            # reference: MATLAB 1-based index correction [H]
+            # reference: MATLAB 1-based index correction, applied to the
+            # center AND the joint coords (simple-baselines mpii.py [H])
             c = c - 1
-            joints = np.array(a.get("joints", np.zeros((16, 2))), np.float32)
+            joints = np.array(a.get("joints", np.ones((16, 2))), np.float32)
+            joints = joints - 1      # real annots only; dummy stays >= 0
             vis = np.array(a.get("joints_vis", np.ones(16)), np.float32)
             records.append(JointsRecord(
                 image=os.path.join(root, "images", a["image"]),

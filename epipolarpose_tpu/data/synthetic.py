@@ -200,11 +200,11 @@ def write_synthetic_mpii(root: str, cfg, num_samples: int = 8,
         annots.append({
             "image": name,
             # undo the reader's center/scale adjustment (+15s, *1.25, -1)
-            # so round-trips match
+            # and write MATLAB 1-based joint coords so round-trips match
             "center": [float(rec.center[0] + 1),
                        float(rec.center[1] + 1 - 15 * rec.scale[1] / 1.25)],
             "scale": float(rec.scale[0] / 1.25),
-            "joints": rec.joints.tolist(),
+            "joints": (rec.joints + 1).tolist(),
             "joints_vis": rec.joints_vis.tolist(),
         })
     for split in ("train", "valid"):

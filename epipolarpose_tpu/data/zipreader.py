@@ -45,6 +45,15 @@ def read_bytes(path: str) -> bytes:
     return _handle(zip_path).read(inner)
 
 
+def read_file_bytes(path: str) -> bytes:
+    """Raw bytes from a plain path or a ``zip@/inner`` path (the shared
+    JPEG-fetch helper of the native-loader fast paths)."""
+    if is_zip_path(path):
+        return read_bytes(path)
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def imread(path: str, rgb: bool = False) -> np.ndarray:
     """Read an image from a plain path or a ``zip@/inner`` path."""
     import cv2

@@ -95,7 +95,14 @@ def shard_batch_local(batch: dict, mesh: Mesh,
 
     def put(path, x):
         x = np.asarray(x)
-        if x.ndim >= 1 and (x.shape[0] * pc) % mesh.shape["data"] == 0:
+        if x.ndim >= 1:
+            if (x.shape[0] * pc) % mesh.shape["data"] != 0:
+                # treating per-sample leaves as "replicated" here would
+                # hand SPMD DIFFERENT per-host arrays as one replicated
+                # operand — silent garbage, not a fallback
+                raise ValueError(
+                    f"global batch {x.shape[0] * pc} (leaf {path}) not "
+                    f"divisible by data axis {mesh.shape['data']}")
             sh = NamedSharding(mesh, P("data"))
             gshape = (x.shape[0] * pc,) + x.shape[1:]
             return jax.make_array_from_process_local_data(sh, x, gshape)

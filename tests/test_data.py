@@ -296,6 +296,49 @@ def test_grain_loader_matches_thread_loader():
     assert b["input"].shape == (2, 256, 256, 3)
 
 
+def test_grain_loader_carries_3d_labels_and_pads_eval_tail():
+    """Two regressions: (1) grain's per-sample path must ship joints_3d
+    (without it, integral depth targets silently become z=0 with full
+    weight); (2) eval epochs must keep the remainder, padded to a static
+    batch shape like the threads path."""
+    from epipolarpose_tpu.data import grain_epoch_loader
+    from epipolarpose_tpu.data.synthetic import SyntheticMultiviewDataset
+    cfg = config
+    ds = SyntheticMultiviewDataset(cfg, num_frames=3, is_train=False,
+                                   num_views=2)             # 6 records
+    got = list(grain_epoch_loader(ds, 4, epoch=0, is_train=False,
+                                  worker_count=0))
+    assert len(got) == 2                       # 6 samples -> 4 + padded 4
+    for b in got:
+        assert "joints_3d" in b, "grain batches must carry 3D labels"
+        assert b["joints_3d"].shape == (4, cfg.MODEL.NUM_JOINTS, 3)
+        assert b["input"].shape[0] == 4        # static (padded) shape
+    idx = np.concatenate([b["index"] for b in got])
+    assert set(idx.tolist()) == set(range(6))  # full coverage
+    np.testing.assert_array_equal(idx[6:], idx[5])  # tail pads last sample
+    # train epochs still drop the remainder (reference drop_last)
+    got_tr = list(grain_epoch_loader(ds, 4, epoch=0, is_train=True,
+                                     worker_count=0))
+    assert len(got_tr) == 1
+
+
+def test_shard_batch_local_rejects_non_divisible():
+    """Pod DP: a per-sample leaf whose global batch doesn't divide the data
+    axis must raise, not silently pass divergent host data as replicated."""
+    import pytest
+    from epipolarpose_tpu.parallel import make_mesh, shard_batch_local
+    mesh = make_mesh(config)
+    data = mesh.shape["data"]
+    if data <= 2:
+        pytest.skip("needs a data axis > 2 to build a non-divisible case")
+    # local batch of 1 on 2 hosts -> global 2, never divisible by data > 2;
+    # the check fires before any jax.Array is built, so a single process
+    # can exercise the multi-process validation path
+    bad = {"input": np.zeros((1, 4, 4, 3), np.float32)}
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch_local(bad, mesh, process_count=2)
+
+
 def test_epoch_loader_grain_backend():
     cfg = config
     cfg.TPU.LOADER = "grain"
