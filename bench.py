@@ -135,12 +135,14 @@ def bench_triangulation(extras):
             return res.mean(), X.mean()
         return jax.lax.scan(body, jnp.float32(0), None, length=K)
 
-    _ = jax.block_until_ready(run(det_d))
+    # float() host transfers as fences: block_until_ready does not fence
+    # through the axon tunnel, which silently over-reports scan benches
+    _ = float(run(det_d)[0])
     iters = 3
     t0 = time.time()
     for _ in range(iters):
         out = run(det_d)
-    jax.block_until_ready(out)
+    _ = float(out[0])
     dt = (time.time() - t0) / (iters * K)
     _log_extra({
         "metric": "h36m_triangulations_per_sec",
@@ -284,7 +286,9 @@ def bench_e2e_input_fed(extras):
             for batch in epoch_loader(ds, bs, epoch, prefetch=2):
                 state, m = step(state, batch)
                 seen += bs
-            jax.block_until_ready(state.params)
+            # host transfer as the fence: block_until_ready does not fence
+            # through the axon tunnel (see the scan benches above)
+            _ = float(m["loss"])
             dt = time.time() - t0
         _log_extra({
             "metric": "e2e_input_fed_train_images_per_sec",

@@ -59,7 +59,8 @@ TPU:
          "--cfg", str(yaml), "--gt-detections", "--groups-per-batch", "2",
          "--out", str(tmp_path / "pseudo.json"),
          "--merge-into", str(annot), "--merge-out", str(merged)],
-        capture_output=True, text=True, env=env, cwd=str(ROOT), timeout=540)
+        capture_output=True, text=True, env=env, cwd=str(ROOT),
+        timeout=1200)   # contention headroom: 1-core hosts run suites+benches
     assert out.returncode == 0, out.stderr[-3000:]
     assert "merged pseudo-GT into 16 records" in out.stdout, out.stdout
 
