@@ -166,14 +166,13 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
             bones = _h36m_bones(num_joints) if bone_mm > 0 else None
             # all groups share the physical rig; intrinsics from group 0
             intrinsics = jax.tree.map(lambda x: x[0], cam)
-            X0, P_est = pseudo_gt_uncalibrated(
+            X0, P_est, res = pseudo_gt_uncalibrated(
                 det, intrinsics, conf=conf.reshape(G, V, -1),
                 bone_pairs=bones,
                 bone_length_mm=bone_mm if bone_mm > 0 else None)
             if refiner is not None:
                 root = X0[:, root_idx:root_idx + 1]
                 X0 = root + jax.lax.stop_gradient(refiner(X0 - root))
-            res = jnp.zeros((G, num_joints), X0.dtype)
             # X0 is in camera-0 frame; per-view coords via estimated [R|t]
             Xh = jnp.concatenate([X0, jnp.ones_like(X0[..., :1])], -1)
             X_cam = jnp.einsum("vij,gnj->gvni", P_est, Xh)
@@ -278,15 +277,21 @@ def _h36m_bones(num_joints: int):
     return [p for p in pairs if p[0] < num_joints and p[1] < num_joints]
 
 
-def make_gt_teacher(num_joints: int):
-    """Test helper: a 'perfect teacher' producing GT 2D detections.
+def make_gt_teacher(joints_src, conf=None):
+    """Test/dryrun helper: a 'perfect teacher' emitting fixed detections.
 
-    Returns a function with the same signature as :func:`teacher_detect`
-    but reading detections straight from the batch — lets tests isolate
-    the triangulation/student path from teacher quality.
+    ``joints_src``: (B, J, 2) source-space GT detections captured at build
+    time (B = flattened G·V of the batch it will be used with); ``conf``:
+    optional (B, J). Returns ``detect(imgs, centers, scales)`` with the
+    ``detect_fn`` signature :func:`make_ss_train_step` expects — it ignores
+    the images and returns the captured detections, isolating the
+    triangulation/student path from teacher quality.
     """
-    def detect(batch_joints_src, conf=None):
-        c = conf if conf is not None else \
-            jnp.ones(batch_joints_src.shape[:-1], jnp.float32)
-        return batch_joints_src, c
+    joints_src = jnp.asarray(joints_src, jnp.float32)
+    c = jnp.asarray(conf, jnp.float32) if conf is not None else \
+        jnp.ones(joints_src.shape[:-1], jnp.float32)
+
+    def detect(imgs, centers, scales):
+        del imgs, centers, scales
+        return joints_src, c
     return detect

@@ -180,7 +180,11 @@ def fliplr_joints(joints, joints_vis, width, matched_parts):
     x = width - 1.0 - joints[..., 0]
     joints = joints.at[..., 0].set(x)
     perm = _pair_permutation(joints.shape[-2], matched_parts)
-    return joints[..., perm, :], joints_vis[..., perm, :]
+    joints, joints_vis = joints[..., perm, :], joints_vis[..., perm, :]
+    # reference returns joints*joints_vis: invisible joints' coords are
+    # zeroed so downstream validity checks (target > 1) treat them as
+    # invalid rather than seeing stale flipped coords
+    return joints * joints_vis[..., :1].astype(joints.dtype), joints_vis
 
 
 def flip_back(heatmaps, matched_parts):

@@ -74,22 +74,23 @@ def estimate_fundamental(x1, x2, weights=None):
     return F / (norm[..., None, None] + 1e-30)
 
 
-def essential_from_fundamental(F, K1, K2):
-    """E = K2ᵀ F K1, projected to the essential manifold (σ = 1,1,0)."""
-    E = _einsum("...ji,...jk,...kl->...il", K2, F, K1)
+def _project_to_essential(E):
+    """Nearest essential matrix: equalize σ1, σ2, zero σ3."""
     U, S, Vt = jnp.linalg.svd(E)
     s = (S[..., 0] + S[..., 1]) / 2.0
     Snew = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
     return _einsum("...ij,...j,...jk->...ik", U, Snew, Vt)
 
 
+def essential_from_fundamental(F, K1, K2):
+    """E = K2ᵀ F K1, projected to the essential manifold (σ = 1,1,0)."""
+    return _project_to_essential(
+        _einsum("...ji,...jk,...kl->...il", K2, F, K1))
+
+
 def estimate_essential(x1n, x2n, weights=None):
     """8-point on already-normalized (K⁻¹) coords, projected to E manifold."""
-    F = estimate_fundamental(x1n, x2n, weights)
-    U, S, Vt = jnp.linalg.svd(F)
-    s = (S[..., 0] + S[..., 1]) / 2.0
-    Snew = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
-    return _einsum("...ij,...j,...jk->...ik", U, Snew, Vt)
+    return _project_to_essential(estimate_fundamental(x1n, x2n, weights))
 
 
 _W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
@@ -176,7 +177,12 @@ def ransac_fundamental(key, x1, x2, num_hypotheses: int = 64,
     (N, 2). Returns (F (3,3), inlier_mask (N,)).
     """
     n = x1.shape[-2]
-    idx = jax.random.randint(key, (num_hypotheses, sample_size), 0, n)
+    # sample WITHOUT replacement per hypothesis: a duplicated row makes the
+    # 8-point system rank-deficient (2D null space -> junk F), which at
+    # n~30 would poison the majority of hypotheses
+    keys = jax.random.split(key, num_hypotheses)
+    idx = jax.vmap(
+        lambda k: jax.random.permutation(k, n)[:sample_size])(keys)
     s1 = x1[idx]                                         # (H, 8, 2)
     s2 = x2[idx]
     Fs = estimate_fundamental(s1, s2)                    # (H, 3, 3)

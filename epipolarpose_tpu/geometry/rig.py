@@ -73,7 +73,8 @@ def pseudo_gt_uncalibrated(detections_px, intrinsics: Camera, conf=None,
 
     detections_px: (G, V, J, 2) pixel detections; intrinsics: Camera pytree
     with (V,)-leading fields (only f/c used — extrinsics are estimated).
-    Returns (X (G, J, 3) in camera-0 frame, P (V, 3, 4)).
+    Returns (X (G, J, 3) in camera-0 frame, P (V, 3, 4),
+    residual (G, J) — the DLT residual, in the same scale as X).
 
     Scale: unit (0,1)-baseline by default; if ``bone_pairs`` (list of joint
     index pairs) and ``bone_length_mm`` are given, rescale so the mean bone
@@ -97,4 +98,5 @@ def pseudo_gt_uncalibrated(detections_px, intrinsics: Camera, conf=None,
         # projections — and per-view depths — stay consistent in mm.
         X = X * s
         P = P.at[:, :, 3].multiply(s)
-    return X, P
+        res = res * s
+    return X, P, res

@@ -44,10 +44,12 @@ def generate_target(joints, joints_vis, heatmap_size, sigma,
     mu_x = jnp.trunc(joints[..., 0] / stride_x + 0.5)
     mu_y = jnp.trunc(joints[..., 1] / stride_y + 0.5)
 
-    # box bounds; fully-outside boxes zero the weight (reference check)
+    # box bounds; fully-outside boxes zero the weight. Reference condition
+    # is `br < 0` (NOT <= 0): a box with br == 0 keeps weight 1 and
+    # supervises an all-zero map — reproduced exactly
     ul_x, ul_y = mu_x - tmp_size, mu_y - tmp_size
     br_x, br_y = mu_x + tmp_size + 1, mu_y + tmp_size + 1
-    inside = ((ul_x < W) & (ul_y < H) & (br_x > 0) & (br_y > 0))
+    inside = ((ul_x < W) & (ul_y < H) & (br_x >= 0) & (br_y >= 0))
     weight = joints_vis.astype(jnp.float32) * inside.astype(jnp.float32)
 
     xs = jnp.arange(W, dtype=jnp.float32)

@@ -35,19 +35,20 @@ def integral_l1_loss(pred_coords, target_coords, target_weight=None):
     """L1 joint-location loss on normalized (x, y, z) coords.
 
     pred/target: (N, J, 3); target_weight: (N, J) or (N, J, 3).
-    Mean of |err| over weighted coordinates (reference integral loss [M]).
+    sum(|err|·w) / N — the integral-human-pose ``weighted_l1_loss`` with
+    ``size_average`` divides by the BATCH size, not the weighted-coordinate
+    count [M]; matching it keeps loss magnitudes (and the published
+    LR recipe, which is not scale-free under SGD) transferable.
     """
     err = jnp.abs(pred_coords - target_coords)
+    n = jnp.maximum(err.shape[0], 1)
     if target_weight is not None:
         if target_weight.ndim == err.ndim - 1:
             target_weight = target_weight[..., None]
         # where() (not multiply) so nan/inf targets under zero weight stay
         # masked — 0 * nan would poison the loss (degenerate pseudo-GT)
         err = jnp.where(target_weight > 0, err * target_weight, 0.0)
-        denom = jnp.maximum(jnp.sum(jnp.broadcast_to(
-            target_weight, err.shape) > 0), 1)
-        return jnp.sum(err) / denom
-    return jnp.mean(err)
+    return jnp.sum(err) / n
 
 
 def make_loss(cfg):

@@ -43,8 +43,11 @@ def heatmap_accuracy(output, target, thr: float = 0.5):
     h, w = output.shape[-3], output.shape[-2]
     pred, _ = get_max_preds(output)
     gt, _ = get_max_preds(target)
+    # reference builds norm = [h, w]/10 against (x, y) coords — i.e. x is
+    # divided by h/10 (identical for the square heatmaps every config
+    # ships, but kept exact for parity)
     norm = jnp.ones((output.shape[0], 2), output.dtype) * \
-        jnp.asarray([w, h], output.dtype) / 10.0
+        jnp.asarray([h, w], output.dtype) / 10.0
     dists = _calc_dists(pred, gt, norm)
     acc = _dist_acc(dists, thr)
     valid_joint = acc >= 0
@@ -104,6 +107,8 @@ def kmeans(key, points, k: int, iters: int = 20):
     points: (N, D). Returns (centers (k, D), assignment (N,)).
     """
     n = points.shape[0]
+    if n < k:
+        raise ValueError(f"kmeans needs at least k={k} points, got {n}")
     init = jax.random.choice(key, n, (k,), replace=False)
     centers = points[init]
 
@@ -122,9 +127,11 @@ def kmeans(key, points, k: int, iters: int = 20):
     return centers, jnp.argmin(d, axis=-1)
 
 
-def _pose_embed(poses):
-    """Root-center + unit-norm flatten, the pose rep used by PSS [M]."""
-    x = poses - poses.mean(axis=-2, keepdims=True)
+def _pose_embed(poses, root_idx: int = 0):
+    """Root-center + unit-norm flatten, the pose rep used by PSS [M]
+    (root joint = index 0 in the H36M order, matching the root-relative
+    convention the rest of the eval pipeline uses)."""
+    x = poses - poses[..., root_idx:root_idx + 1, :]
     x = x.reshape(x.shape[:-2] + (-1,))
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
 

@@ -90,11 +90,14 @@ def test_transform_preds_maps_heatmap_to_image():
 def test_fliplr_joints():
     joints = np.array([[10.0, 5.0, 0.0], [20.0, 6.0, 0.0]], np.float32)
     vis = np.ones((2, 3), np.float32)
+    vis[1] = 0.0                       # joint 1 invisible
     fj, fv = fliplr_joints(joints, vis, width=100, matched_parts=[(0, 1)])
     fj = np.asarray(fj)
-    # joints swapped AND x mirrored: new joint0 = old joint1 mirrored
-    np.testing.assert_allclose(fj[0], [100 - 1 - 20.0, 6.0, 0.0])
+    # joints swapped AND x mirrored: new joint0 = old joint1 mirrored,
+    # which is INVISIBLE -> reference zeroes its coords (joints*joints_vis)
+    np.testing.assert_allclose(fj[0], [0.0, 0.0, 0.0])
     np.testing.assert_allclose(fj[1], [100 - 1 - 10.0, 5.0, 0.0])
+    np.testing.assert_allclose(np.asarray(fv)[0], 0.0)
 
 
 def test_flip_back_inverts_flip(rng):

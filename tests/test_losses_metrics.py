@@ -34,12 +34,17 @@ def test_joints_mse_matches_torch(rng):
 
 
 def test_integral_l1_weighted(rng):
+    """Oracle = integral-human-pose weighted_l1_loss with size_average:
+    sum(|pred - gt| * w) / BATCH (torch reference, re-implemented)."""
+    import torch
     pred = rng.standard_normal((3, 4, 3)).astype(np.float32)
     tgt = rng.standard_normal((3, 4, 3)).astype(np.float32)
     w = np.zeros((3, 4), np.float32)
     w[:, 0] = 1.0
     ours = float(integral_l1_loss(pred, tgt, w))
-    oracle = np.abs(pred[:, 0] - tgt[:, 0]).sum() / (3 * 3)
+    tp, tt = torch.tensor(pred), torch.tensor(tgt)
+    tw = torch.tensor(w)[..., None]
+    oracle = float(((tp - tt).abs() * tw).sum() / len(tp))
     np.testing.assert_allclose(ours, oracle, rtol=1e-5)
 
 

@@ -50,7 +50,7 @@ def test_estimate_rig_recovers_rotations(rng):
 
 def test_uncalibrated_pseudo_gt_up_to_scale(rng):
     poses, det, cams, cam_stack = _scene(rng)
-    X, P = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack)
+    X, P, _ = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack)
     X = np.asarray(X)
     # GT in camera-0 frame
     from epipolarpose_tpu.geometry import world_to_camera_frame
@@ -72,7 +72,7 @@ def test_uncalibrated_bone_length_scale(rng):
     gt_cam0 = np.asarray(world_to_camera_frame(jnp.asarray(poses), cams[0]))
     true_len = float(np.linalg.norm(
         gt_cam0[:, a] - gt_cam0[:, b], axis=-1).mean())
-    X, _ = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack,
+    X, _, _ = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack,
                                   bone_pairs=pairs,
                                   bone_length_mm=true_len)
     X = np.asarray(X)
@@ -91,8 +91,8 @@ def test_bone_scale_keeps_reprojection(rng):
     true_len = float(np.linalg.norm(
         gt_cam0[:, a] - gt_cam0[:, b], axis=-1).mean())
 
-    X1, P1 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack)
-    X2, P2 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack,
+    X1, P1, r1 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack)
+    X2, P2, r2 = pseudo_gt_uncalibrated(jnp.asarray(det), cam_stack,
                                     bone_pairs=pairs,
                                     bone_length_mm=true_len)
 
