@@ -78,14 +78,6 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        lib.warp_batch_u8_out_u8.restype = None
-        lib.warp_batch_u8_out_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
         _lib = lib
         return lib
 
@@ -96,6 +88,17 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+def _jpeg_ptrs(jpeg_buffers: list[bytes]):
+    """Pointer/size arrays aliasing the bytes objects directly — the C
+    side only reads, and the caller's list keeps the bytes alive, so the
+    per-batch create_string_buffer memcpy of every JPEG is avoidable."""
+    n = len(jpeg_buffers)
+    ptrs = ctypes.cast((ctypes.c_char_p * n)(*jpeg_buffers),
+                       ctypes.POINTER(ctypes.c_void_p))
+    sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    return ptrs, sizes
 
 
 def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
@@ -113,11 +116,7 @@ def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
     lib = _load()
     n = len(jpeg_buffers)
     W, H = int(output_size[0]), int(output_size[1])
-    # keep the string buffers alive: create_string_buffer copies; store refs
-    bufs = [ctypes.create_string_buffer(b, len(b)) for b in jpeg_buffers]
-    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(s, ctypes.c_void_p)
-                                   for s in bufs])
-    sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    ptrs, sizes = _jpeg_ptrs(jpeg_buffers)
     Ms = np.ascontiguousarray(Ms, np.float32).reshape(n, 6)
     Mp = Ms.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     if np.dtype(dtype) == np.uint8:
@@ -145,10 +144,7 @@ def decode_warp2_batch(jpeg_buffers: list[bytes], Ms1: np.ndarray,
     lib = _load()
     n = len(jpeg_buffers)
     W, H = int(output_size[0]), int(output_size[1])
-    bufs = [ctypes.create_string_buffer(b, len(b)) for b in jpeg_buffers]
-    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(s, ctypes.c_void_p)
-                                   for s in bufs])
-    sizes = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    ptrs, sizes = _jpeg_ptrs(jpeg_buffers)
     Ms1 = np.ascontiguousarray(Ms1, np.float32).reshape(n, 6)
     Ms2 = np.ascontiguousarray(Ms2, np.float32).reshape(n, 6)
     out1 = np.empty((n, H, W, 3), np.uint8)

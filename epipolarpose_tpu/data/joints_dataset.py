@@ -221,6 +221,14 @@ class JointsDataset:
             return False
         if flag is True:
             return True
+        import jax
+        if jax.process_count() > 1:
+            # pod runs: timing-based calibration could pick DIFFERENT
+            # paths on different hosts, and the paths' flip/rot aug
+            # compositions are only distribution-equivalent — breaking
+            # the placement-invariance contract (_get_batch_pool note).
+            # Deterministic rule instead: native when eligible.
+            return True
         if getattr(self, "_native_calibrated", None) is None:
             import time
             # probe a small slice: per-image decode dominates both paths,

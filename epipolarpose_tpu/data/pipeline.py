@@ -26,6 +26,7 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def put(b):
         if callable(sharding):          # e.g. partial(shard_batch, mesh=...)
@@ -34,24 +35,47 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
             return jax.device_put(b, sharding)
         return jax.device_put(b)
 
+    def enqueue(item) -> bool:
+        # bounded put so an abandoned consumer (exception mid-epoch, early
+        # break) doesn't leave this thread blocked forever holding
+        # device-resident batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for b in batches:
-                q.put(put(b))
+                if not enqueue(put(b)):
+                    return
         except BaseException as e:          # surface errors to the consumer
-            q.put(e)
+            enqueue(e)
             return
-        q.put(_SENTINEL)
+        enqueue(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done or generator closed: release the producer and any
+        # queued device buffers
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,

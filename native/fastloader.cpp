@@ -313,43 +313,4 @@ void warp_batch_u8(const uint8_t* src, int n, int sw, int sh,
     }
 }
 
-// uint8-out batch warp of pre-decoded uint8 RGB images.
-void warp_batch_u8_out_u8(const uint8_t* src, int n, int sw, int sh,
-                          const float* Ms, int dw, int dh, uint8_t* out) {
-#pragma omp parallel for schedule(static)
-    for (int i = 0; i < n; ++i) {
-        warp_one_u8(src + static_cast<size_t>(i) * sh * sw * 3, sw, sh,
-                    Ms + static_cast<size_t>(i) * 6,
-                    out + static_cast<size_t>(i) * dh * dw * 3, dw, dh,
-                    1.0f);
-    }
-}
-
-// Decode a batch of JPEGs into caller-provided fixed-capacity buffers.
-// outs: n * (max_h*max_w*3) uint8; dims: n*2 (w, h). Returns failures.
-int decode_batch(const uint8_t** jpegs, const size_t* sizes, int n,
-                 uint8_t* outs, int max_w, int max_h, int* dims) {
-    int failures = 0;
-#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
-    for (int i = 0; i < n; ++i) {
-        std::vector<uint8_t> img;
-        int w = 0, h = 0;
-        if (decode_one(jpegs[i], sizes[i], img, w, h) != 0 ||
-            w > max_w || h > max_h) {
-            dims[i * 2] = 0;
-            dims[i * 2 + 1] = 0;
-            failures += 1;
-            continue;
-        }
-        dims[i * 2] = w;
-        dims[i * 2 + 1] = h;
-        uint8_t* dst = outs + static_cast<size_t>(i) * max_h * max_w * 3;
-        for (int y = 0; y < h; ++y)
-            std::memcpy(dst + static_cast<size_t>(y) * max_w * 3,
-                        img.data() + static_cast<size_t>(y) * w * 3,
-                        static_cast<size_t>(w) * 3);
-    }
-    return failures;
-}
-
 }  // extern "C"

@@ -29,6 +29,11 @@ def parse_args():
     p.add_argument("--refiner-file", default=None,
                    help="orbax checkpoint of a trained refinement unit; "
                         "applied to the predicted 3D pose")
+    p.add_argument("--focal", type=float, default=1150.0,
+                   help="nominal focal length (px) for lifting (x, y) "
+                        "pixels to camera-frame mm (H36M cameras ~1150)")
+    p.add_argument("--root-depth", type=float, default=4500.0,
+                   help="assumed absolute root depth (mm) for the lift")
     return p.parse_args()
 
 
@@ -103,14 +108,23 @@ def main():
     print(f"wrote {overlay}")
 
     if preds.shape[-1] == 3:
-        pose3d = preds - preds[:1]
+        # lift (x px, y px, z rel-mm) to camera-frame mm with a nominal
+        # pinhole (no intrinsics in the demo): consistent units for the
+        # 3D plot AND for the refiner, which is trained exclusively on
+        # root-relative camera-frame mm poses
+        h_src, w_src = img.shape[:2]
+        z_abs = args.root_depth + preds[:, 2]
+        x_mm = (preds[:, 0] - w_src / 2) / args.focal * z_abs
+        y_mm = (preds[:, 1] - h_src / 2) / args.focal * z_abs
+        pose3d = np.stack([x_mm, y_mm, z_abs], axis=-1)
+        pose3d = (pose3d - pose3d[:1]).astype(np.float32)
         if args.refiner_file:
             from epipolarpose_tpu.core.self_supervised import load_refiner
             refine = load_refiner(config, args.refiner_file)
             pose3d = np.asarray(refine(pose3d[None]))[0]
             print(f"applied refiner {args.refiner_file}")
         plot = os.path.join(args.out, "pose_3d.png")
-        plot_3d_skeleton(pose3d, plot, title="predicted 3D pose")
+        plot_3d_skeleton(pose3d, plot, title="predicted 3D pose (mm)")
         print(f"wrote {plot}")
 
 

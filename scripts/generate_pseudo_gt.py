@@ -6,8 +6,10 @@
 
 Runs the frozen 2D teacher over every multi-view group, triangulates
 (confidence-weighted DLT, or rig-estimated when TPU.SS_CAMERAS=estimated),
-and writes per-record root-relative camera-frame 3D joints to a json that
-can be merged into annot files (``joints_3d`` field). The reference did
+and writes per-record ABSOLUTE camera-frame 3D joints (mm) to a json that
+can be merged into annot files (``joints_3d`` field) — absolute, because
+the eval protocol's pixel2cam back-projection keys on the GT root depth;
+the reported pseudo-GT error is computed root-relative. The reference did
 exactly this on host numpy; here the whole sweep is batched jits on device
 (SURVEY §3.2 — judged config 3 at dataset scale).
 

@@ -89,7 +89,12 @@ def main():
                            **ds_kwargs)
 
     batch_size = int(config.TRAIN.BATCH_SIZE) * mesh.shape["data"]
-    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    self_supervised = (config.DATASET.LABEL_SOURCE == "triangulated")
+    # LR-schedule boundaries count OPTIMIZER steps: the multiview loader
+    # yields one step per GROUP batch (V records each), not per record
+    epoch_units = len(getattr(train_ds, "view_groups", train_ds.records)) \
+        if self_supervised else len(train_ds)
+    steps_per_epoch = max(epoch_units // batch_size, 1)
     state = create_train_state(config, model, jax.random.PRNGKey(
         int(config.TPU.SEED)), steps_per_epoch)
 
@@ -98,10 +103,31 @@ def main():
         logger.info(f"loading pretrained {config.MODEL.PRETRAINED}")
         variables = load_torch_checkpoint(
             config.MODEL.PRETRAINED, int(config.MODEL.EXTRA.NUM_LAYERS))
-        state = state.replace(params={**state.params,
-                                      **variables["params"]},
-                              batch_stats={**state.batch_stats,
-                                           **variables["batch_stats"]})
+
+        def merge_matching(dst, src, path=""):
+            """Copy only shape-compatible leaves: a 2D teacher checkpoint
+            initializes a 3D student's backbone/deconv while its J-channel
+            final_layer must NOT clobber the J*D-channel head (the
+            reference reinitializes the head the same way)."""
+            out = dict(dst)
+            for k, v in src.items():
+                if k not in dst:
+                    continue
+                if isinstance(v, dict) and isinstance(dst[k], dict):
+                    out[k] = merge_matching(dst[k], v, f"{path}{k}/")
+                elif getattr(v, "shape", None) == \
+                        getattr(dst[k], "shape", ()):
+                    out[k] = v
+                else:
+                    logger.info(f"pretrained: skipping {path}{k} "
+                                f"{getattr(v, 'shape', '?')} != "
+                                f"{getattr(dst[k], 'shape', '?')}")
+            return out
+
+        state = state.replace(
+            params=merge_matching(state.params, variables["params"]),
+            batch_stats=merge_matching(state.batch_stats,
+                                       variables["batch_stats"]))
 
     # metric direction is dataset-defined: PCKh up, MPJPE down
     higher_better = bool(getattr(valid_ds, "perf_higher_is_better", True))
@@ -112,7 +138,6 @@ def main():
         state, begin_epoch = ckpt.restore(state)
         logger.info(f"resumed at epoch {begin_epoch}")
 
-    self_supervised = (config.DATASET.LABEL_SOURCE == "triangulated")
     if self_supervised:
         from epipolarpose_tpu.core.self_supervised import (
             make_ss_train_step, load_teacher)

@@ -36,11 +36,19 @@ def test_convert_annotations_aliases(tmp_path):
 
 def test_convert_cameras_h5(tmp_path):
     import h5py
+    from scipy.spatial.transform import Rotation
     from prepare_h36m import convert_cameras_h5
     path = tmp_path / "cameras.h5"
+    # NON-symmetric rotation, stored MATLAB-style (i.e. transposed — the
+    # una-dinosauria loader applies R = R.T after reading); camera id as
+    # the uint16 char-code 'Name' array the real file uses
+    R_true = Rotation.from_euler("xyz", [10, 20, 30],
+                                 degrees=True).as_matrix()
     with h5py.File(path, "w") as f:
         g = f.create_group("subject1/camera1")
-        g["R"] = np.eye(3)
+        g["R"] = R_true.T
+        g["Name"] = np.frombuffer("54138969".encode("utf-16-le"),
+                                  np.uint16)
         g["T"] = np.array([1.0, 2.0, 3.0])
         g["f"] = np.array([1100.0, 1101.0])
         g["c"] = np.array([512.0, 510.0])
@@ -48,8 +56,9 @@ def test_convert_cameras_h5(tmp_path):
         g["p"] = np.array([0.001, -0.0005])
     cams = convert_cameras_h5(str(path))
     key = next(iter(cams))
-    assert key.startswith("1:")
-    assert np.asarray(cams[key]["R"]).shape == (3, 3)
+    assert key == "1:54138969"
+    np.testing.assert_allclose(np.asarray(cams[key]["R"]), R_true,
+                               atol=1e-12)
     # loads through the real reader
     from epipolarpose_tpu.data.h36m import load_cameras
     out = tmp_path / "cameras.json"

@@ -42,12 +42,19 @@ def convert_cameras_h5(path: str) -> dict:
             for cam_key in f[subj_key].keys():  # 'camera1'..'camera4'
                 cam_idx = int(cam_key.replace("camera", "")) - 1
                 g = f[subj_key][cam_key]
-                cam_id = (g["name"][()].tobytes().decode()
-                          if "name" in g else CAMERA_IDS[cam_idx])
+                # the h5 (MATLAB export) capitalizes the dataset as 'Name'
+                name_key = next((k for k in ("Name", "name") if k in g),
+                                None)
+                cam_id = (np.array(g[name_key]).tobytes()
+                          .decode("utf-16-le", "ignore")
+                          if name_key else CAMERA_IDS[cam_idx])
                 cam_id = "".join(ch for ch in cam_id if ch.isdigit()) \
                     or CAMERA_IDS[cam_idx]
-                R = np.array(g["R"]).reshape(3, 3)
-                # una-dinosauria stores R world->cam and T as camera center
+                # MATLAB h5 arrays are column-major: R must be TRANSPOSED
+                # on read (3d-pose-baseline load_camera_params does R = R.T)
+                # to be the row-major world->cam rotation our Camera
+                # convention X_cam = R (X_world - T) expects
+                R = np.array(g["R"]).reshape(3, 3).T
                 out[f"{subject}:{cam_id}"] = {
                     "R": R.tolist(),
                     "T": np.array(g["T"]).reshape(3).tolist(),
