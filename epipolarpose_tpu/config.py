@@ -38,13 +38,6 @@ class ConfigDict(dict):
     def __deepcopy__(self, memo):
         return ConfigDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
-    @staticmethod
-    def from_nested(d: dict) -> "ConfigDict":
-        out = ConfigDict()
-        for k, v in d.items():
-            out[k] = ConfigDict.from_nested(v) if isinstance(v, dict) else v
-        return out
-
 
 def _default_config() -> ConfigDict:
     c = ConfigDict()
@@ -201,6 +194,12 @@ def _merge(dst: ConfigDict, src: dict, path: str = "") -> None:
                 raise TypeError(f"{here}: scalar overridden by mapping")
             _merge(dst[k], v, here)
         else:
+            if isinstance(dst[k], dict):
+                # e.g. an accidentally-emptied YAML section parses as
+                # None — fail loudly here, not with a far-away
+                # AttributeError at first use
+                raise TypeError(f"{here}: mapping overridden by "
+                                f"scalar {v!r}")
             dst[k] = v
 
 
@@ -235,8 +234,14 @@ def update_dir(cfg: ConfigDict, model_dir: str | None = None,
     if data_dir:
         cfg.DATA_DIR = data_dir
         cfg.DATASET.ROOT = os.path.join(data_dir, cfg.DATASET.ROOT)
-        cfg.TEST.MODEL_FILE = os.path.join(data_dir, cfg.TEST.MODEL_FILE)
-        cfg.MODEL.PRETRAINED = os.path.join(data_dir, cfg.MODEL.PRETRAINED)
+        # empty values must STAY empty: joining '' would produce the
+        # truthy '<data_dir>/' and flip downstream `if MODEL_FILE:` gates
+        if cfg.TEST.MODEL_FILE:
+            cfg.TEST.MODEL_FILE = os.path.join(data_dir,
+                                               cfg.TEST.MODEL_FILE)
+        if cfg.MODEL.PRETRAINED:
+            cfg.MODEL.PRETRAINED = os.path.join(data_dir,
+                                                cfg.MODEL.PRETRAINED)
 
 
 def get_model_name(cfg: ConfigDict) -> tuple[str, str]:

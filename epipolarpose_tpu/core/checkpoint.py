@@ -3,14 +3,20 @@
 Mirrors the reference artifacts (``save_checkpoint`` in lib/utils/utils.py
 [H]): ``checkpoint.pth.tar`` (latest) -> step-numbered orbax checkpoints
 with max_to_keep, ``model_best.pth.tar`` -> the best-metric checkpoint kept
-via orbax best_fn, ``final_state.pth.tar`` -> a params-only save at the end.
-Async saves keep the device busy (SURVEY §5 failure-recovery row).
+in a separate ``best/`` manager, ``final_state.pth.tar`` -> a params-only
+save at the end. Async saves keep the device busy (SURVEY §5
+failure-recovery row).
+
+Latest and best are SEPARATE orbax managers on purpose: combining
+``best_fn`` with ``max_to_keep`` in one manager makes orbax retain by
+metric quality, which garbage-collects the most recent save whenever the
+metric plateaus — and then ``TRAIN.RESUME`` would silently roll training
+back to an old best step.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np
@@ -21,26 +27,35 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3,
                  best_mode: str = "max"):
         """``best_mode``: 'max' for PCKh-style perf, 'min' for MPJPE —
-        retention must match the dataset's metric direction or orbax keeps
-        the worst checkpoints."""
+        the best/ manager must match the dataset's metric direction."""
         assert best_mode in ("max", "min"), best_mode
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        missing = -np.inf if best_mode == "max" else np.inf
+        self._best_mode = best_mode
+        self._best_perf: float | None = None
+        # latest: recency-only retention (resume safety)
         self._mngr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                best_fn=lambda m: float(m.get("perf", missing)),
-                best_mode=best_mode,
-                create=True,
-            ),
+                max_to_keep=max_to_keep, create=True),
         )
+        # best: only improved saves go in, so latest == best with 1 kept
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True),
+        )
+        prev = self._best.latest_step()
+        if prev is not None:
+            try:
+                m = self._best.metadata(prev)
+                self._best_perf = float(
+                    (m.custom_metadata or {}).get("perf"))
+            except Exception:
+                self._best_perf = None
 
-    def save(self, step: int, state, epoch: int, perf: float,
-             is_best: bool | None = None, wait: bool = False):
-        """Save model+optimizer+progress (reference checkpoint.pth.tar)."""
-        payload = {
+    def _payload(self, state, epoch: int, perf: float):
+        return {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
@@ -48,10 +63,28 @@ class CheckpointManager:
             "epoch": np.asarray(epoch),
             "perf": np.asarray(perf),
         }
+
+    def _improved(self, perf: float) -> bool:
+        if self._best_perf is None or not np.isfinite(self._best_perf):
+            return True
+        return perf > self._best_perf if self._best_mode == "max" \
+            else perf < self._best_perf
+
+    def save(self, step: int, state, epoch: int, perf: float,
+             is_best: bool | None = None, wait: bool = False):
+        """Save model+optimizer+progress (reference checkpoint.pth.tar);
+        additionally snapshot to best/ when the metric improved
+        (reference model_best.pth.tar)."""
+        payload = self._payload(state, epoch, perf)
         self._mngr.save(step, args=ocp.args.StandardSave(payload),
                         metrics={"perf": float(perf)})
+        improved = self._improved(perf) if is_best is None else is_best
+        if improved:
+            self._best_perf = float(perf)
+            self._best.save(step, args=ocp.args.StandardSave(payload),
+                            custom_metadata={"perf": float(perf)})
         if wait:
-            self._mngr.wait_until_finished()
+            self.wait()
 
     def restore(self, state, step: int | None = None):
         """Restore into an existing state template (TRAIN.RESUME [H]).
@@ -80,7 +113,7 @@ class CheckpointManager:
 
     @property
     def best_step(self):
-        return self._mngr.best_step()
+        return self._best.latest_step()
 
     def save_final(self, state):
         """Params-only final save (reference final_state.pth.tar)."""
@@ -93,6 +126,8 @@ class CheckpointManager:
 
     def wait(self):
         self._mngr.wait_until_finished()
+        self._best.wait_until_finished()
 
     def close(self):
         self._mngr.close()
+        self._best.close()

@@ -49,8 +49,14 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     if name == "adam":
         return optax.adam(sched)
     if name == "sgd":
-        return optax.sgd(sched, momentum=float(cfg.TRAIN.MOMENTUM),
-                         nesterov=bool(cfg.TRAIN.NESTEROV))
+        # reference get_optimizer: optim.SGD(..., weight_decay=TRAIN.WD);
+        # torch couples decay into the gradient BEFORE momentum, which is
+        # optax's add_decayed_weights -> sgd ordering (adam has no decay
+        # in the reference, matching optax.adam above)
+        return optax.chain(
+            optax.add_decayed_weights(float(cfg.TRAIN.WD)),
+            optax.sgd(sched, momentum=float(cfg.TRAIN.MOMENTUM),
+                      nesterov=bool(cfg.TRAIN.NESTEROV)))
     raise ValueError(f"unknown TRAIN.OPTIMIZER: {cfg.TRAIN.OPTIMIZER}")
 
 

@@ -20,7 +20,10 @@ def _to_uint8(images):
     if np.issubdtype(np.asarray(images).dtype, np.integer):
         return np.asarray(images, np.uint8)
     imgs = np.asarray(images, np.float32)
-    if imgs.min() < -0.5:      # normalized input: undo ImageNet transform
+    # [0,1] floats are never negative; ANY negative value (or values well
+    # above 1) means ImageNet-normalized. The old `min < -0.5` heuristic
+    # misclassified bright normalized crops (min ~ -0.37) as [0,1].
+    if imgs.min() < -1e-3 or imgs.max() > 1.5:
         imgs = imgs * IMAGENET_STD + IMAGENET_MEAN
     return np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
 

@@ -58,6 +58,25 @@ def test_restore_empty_dir(tmp_path):
     mngr.close()
 
 
+def test_latest_survives_metric_plateau(tmp_path):
+    """Resume safety: with best tracked in a separate manager, the LATEST
+    step must never be garbage-collected just because the metric stopped
+    improving (quality-based retention would roll RESUME back to an old
+    best step)."""
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                             best_mode="min")
+    mngr.save(1, state, epoch=0, perf=40.0)               # best
+    for i, perf in enumerate((50.0, 55.0, 60.0), start=2):  # worsening
+        mngr.save(i, state.replace(step=state.step + i), epoch=i - 1,
+                  perf=perf)
+    mngr.wait()
+    assert mngr.best_step == 1
+    _, next_epoch = mngr.restore(state)
+    assert next_epoch == 4            # resumed from step 4 (epoch 3) + 1
+    mngr.close()
+
+
 def test_best_tracking_min_mode(tmp_path):
     """MPJPE-style metrics (lower=better) must keep the LOWEST-perf step."""
     state = _tiny_state()
