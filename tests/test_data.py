@@ -133,6 +133,39 @@ def test_prefetch_propagates_errors():
         next(it)
 
 
+def test_prefetch_releases_producer_on_abandon():
+    """Closing the prefetch generator early must unblock the producer
+    thread (bounded puts + stop flag) instead of leaving it pinned on a
+    full queue holding device batches."""
+    import threading
+    import time
+    started = threading.Event()
+    produced = []
+
+    def gen():
+        for i in range(100):
+            started.set()
+            produced.append(i)
+            yield {"x": np.full(3, i)}
+
+    it = device_prefetch(gen(), size=1)
+    next(it)
+    started.wait(5)
+    it.close()                       # abandon mid-epoch
+    n_threads = threading.active_count()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if len(produced) == (n := len(produced)):
+            time.sleep(0.8)
+            if len(produced) == n:   # producer stopped making progress
+                break
+    stalled_at = len(produced)
+    time.sleep(1.2)
+    assert len(produced) == stalled_at < 100, \
+        "producer kept running after the consumer abandoned the iterator"
+    assert threading.active_count() <= n_threads
+
+
 def test_h36m_file_roundtrip(tmp_path):
     """Full H36M-format on-disk round trip: zip images via zipreader,
     cameras.json, view groups, multi-view batches, MPJPE evaluation."""
