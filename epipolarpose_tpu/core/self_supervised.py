@@ -261,7 +261,8 @@ def load_refiner(cfg, checkpoint_path: str):
     model, state = create_refiner_state(int(cfg.MODEL.NUM_JOINTS),
                                         jax.random.PRNGKey(0))
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(checkpoint_path,
+    import os
+    restored = ckptr.restore(os.path.abspath(checkpoint_path),
                              {"params": state.params,
                               "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],

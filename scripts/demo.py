@@ -64,8 +64,9 @@ def main():
         else:
             import orbax.checkpoint as ocp
             v = ocp.StandardCheckpointer().restore(
-                mf, {"params": state.params,
-                     "batch_stats": state.batch_stats})
+                os.path.abspath(mf),      # orbax requires absolute paths
+                {"params": state.params,
+                 "batch_stats": state.batch_stats})
         state = state.replace(params=v["params"],
                               batch_stats=v["batch_stats"])
         print(f"loaded {mf}")

@@ -58,8 +58,10 @@ def main():
         else:
             import orbax.checkpoint as ocp
             ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(mf, {"params": state.params,
-                                          "batch_stats": state.batch_stats})
+            # orbax requires absolute paths
+            restored = ckptr.restore(os.path.abspath(mf),
+                                     {"params": state.params,
+                                      "batch_stats": state.batch_stats})
             state = state.replace(params=restored["params"],
                                   batch_stats=restored["batch_stats"])
         logger.info(f"loaded {mf}")
