@@ -150,6 +150,10 @@ def _default_config() -> ConfigDict:
     c.TPU.REMAT = False          # jax.checkpoint the backbone (384² configs)
     c.TPU.DONATE = True
     c.TPU.PREFETCH = 2           # device-prefetch depth for the host pipeline
+    # optimizer steps per host dispatch: K>1 scans the train step over a
+    # K-stacked super-batch, amortizing per-step dispatch latency (crucial
+    # on high-RTT host<->device links); 1 = reference-like per-batch steps
+    c.TPU.FUSED_STEPS = 1
     c.TPU.SEED = 0
     c.TPU.CHECKPOINT_EVERY = 0   # steps; 0 = per-epoch only
     c.TPU.TRIANGULATION = ConfigDict()

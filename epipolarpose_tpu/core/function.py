@@ -44,8 +44,13 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
     metrics = None
     for i, batch in enumerate(loader):
         data_time.update(time.time() - end)
-        n = int(np.asarray(batch["input"].shape[0]))
         state, metrics = train_step(state, batch)
+        # fused-step driver (TPU.FUSED_STEPS=K): metrics carry a leading
+        # (K,) axis — one dispatch covered K batches' worth of samples
+        fused_k = int(np.prod(np.shape(metrics["loss"]))) or 1
+        n = int(np.asarray(batch["input"].shape[0]))
+        if fused_k > 1:
+            n = fused_k * int(np.asarray(batch["input"].shape[1]))
         if i % int(cfg.PRINT_FREQ) == 0:
             if cfg.DEBUG.DEBUG and output_dir is not None \
                     and batch["input"].ndim == 4:
@@ -56,10 +61,10 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
                     None, None, None,
                     f"{output_dir}/train_{epoch}_{i}")
             # sync only when logging so the device pipeline stays full
-            loss_v = float(metrics["loss"])
+            loss_v = float(np.mean(np.asarray(metrics["loss"])))
             losses.update(loss_v, n)
             if "acc" in metrics:
-                accs.update(float(metrics["acc"]), n)
+                accs.update(float(np.mean(np.asarray(metrics["acc"]))), n)
             batch_time.update(time.time() - end)
             speed = n / max(batch_time.val, 1e-9)
             msg = (f"Epoch: [{epoch}][{i}]\t"
@@ -72,11 +77,11 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
             if writer is not None:
                 writer.write_scalars(int(state.step), {
                     "train/loss": loss_v,
-                    **({"train/acc": float(metrics['acc'])}
-                       if "acc" in metrics else {})})
+                    **({"train/acc": float(np.mean(np.asarray(
+                        metrics['acc'])))} if "acc" in metrics else {})})
         end = time.time()
     if metrics is not None and losses.count == 0:
-        losses.update(float(metrics["loss"]))
+        losses.update(float(np.mean(np.asarray(metrics["loss"]))))
     return state, losses.avg
 
 

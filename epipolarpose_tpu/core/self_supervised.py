@@ -118,7 +118,7 @@ def generate_pseudo_gt(cfg, detections, conf, cameras):
 
 def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                        donate: bool = True, detect_fn=None,
-                       flip_pairs=(), refiner=None):
+                       flip_pairs=(), refiner=None, fused_steps: int = 1):
     """Jitted self-supervised step over multi-view batches.
 
     batch: input (G, V, H, W, 3) in [0,1], center/scale (G, V, 2),
@@ -132,6 +132,9 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
     root-relative triangulated poses before they become student targets —
     the paper's refinement unit in the loop ("SS + R" rows [M]); build one
     from a trained checkpoint with :func:`load_refiner`.
+
+    ``fused_steps=K``: scan K optimizer steps per dispatch over a K-stacked
+    super-batch (see ``core.steps.compile_step``).
     """
     image_size = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
     depth_dim = int(cfg.MODEL.EXTRA.DEPTH_DIM)
@@ -244,13 +247,9 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         return state, {"loss": loss, "tri_residual": res.mean(),
                        "teacher_conf": conf.mean()}
 
-    donate_args = (0,) if donate else ()
-    if mesh is not None:
-        from epipolarpose_tpu.parallel import replicated
-        return jax.jit(step, donate_argnums=donate_args,
-                       in_shardings=(replicated(mesh), None),
-                       out_shardings=(replicated(mesh), replicated(mesh)))
-    return jax.jit(step, donate_argnums=donate_args)
+    from epipolarpose_tpu.core.steps import compile_step
+    return compile_step(step, mesh=mesh, donate=donate,
+                        fused_steps=fused_steps)
 
 
 def load_refiner(cfg, checkpoint_path: str):

@@ -15,6 +15,27 @@ import threading
 from typing import Callable, Iterator
 
 import jax
+import numpy as np
+
+
+def stack_batches(batches: Iterator, k: int,
+                  drop_remainder: bool = False) -> Iterator:
+    """Group ``k`` consecutive batches into one SUPER-batch.
+
+    Every leaf (including nested pytrees like camera parameters) gains a
+    leading (k,) axis; ``core.steps.compile_step(fused_steps=k)`` scans a
+    train step over that axis, running k optimizer steps per host
+    dispatch. A final group smaller than ``k`` is yielded as-is (one extra
+    compile for the tail shape) unless ``drop_remainder``.
+    """
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+            buf = []
+    if buf and not drop_remainder:
+        yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
 
 
 def device_prefetch(batches: Iterator[dict], size: int = 2,
@@ -82,13 +103,19 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
                  prefetch: int = 2, sharding=None,
                  multiview: bool = False,
                  process_index: int | None = None,
-                 process_count: int | None = None) -> Iterator[dict]:
+                 process_count: int | None = None,
+                 fused_steps: int = 1) -> Iterator[dict]:
     """One epoch of device-resident batches (seeded per epoch).
 
     ``batch_size`` is GLOBAL. On multi-host (pod) runs each process decodes
     only its 1/P slice of every batch (identical epoch order from the
     shared seed); pair with ``parallel.shard_batch_local`` as ``sharding``
     so the global array is assembled from the per-host shards.
+
+    ``fused_steps=K``: yield K-stacked super-batches (one device dispatch
+    per K optimizer steps — see :func:`stack_batches`). A callable
+    ``sharding`` must then expect the extra leading axis (pass
+    ``batch_axis=1`` to ``shard_batch_local``).
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
@@ -99,8 +126,10 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
                                   shuffle=is_train, augment=is_train,
                                   process_index=pi, process_count=pc)
     elif backend == "grain" and pc == 1:
-        # multi-process host decode (SURVEY §2.C plan); per-host slicing
-        # for pods still goes through the batches() path
+        # multi-process host decode (SURVEY §2.C plan). Pod runs (pc > 1)
+        # deliberately fall through to batches(): grain's shard_options
+        # would change batch composition with host count, breaking the
+        # placement-invariance contract — rationale in docs/PODS.md
         from epipolarpose_tpu.data.grain_pipeline import grain_epoch_loader
         gw = int(getattr(dataset.cfg.TPU, "GRAIN_WORKERS", -1))
         if gw < 0:
@@ -111,4 +140,6 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
         it = dataset.batches(batch_size, seed=epoch, shuffle=is_train,
                              drop_last=is_train,
                              process_index=pi, process_count=pc)
+    if fused_steps > 1:
+        it = stack_batches(it, fused_steps)
     return device_prefetch(it, size=prefetch, sharding=sharding)

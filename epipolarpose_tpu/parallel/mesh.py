@@ -54,31 +54,43 @@ def batch_shardings(mesh: Mesh, batch_keys) -> dict:
     return out
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, batch_axis: int = 0) -> dict:
     """Place a host batch dict onto the mesh, sharded over ``data`` (and
-    image rows over ``model`` when the axis is in use)."""
+    image rows over ``model`` when the axis is in use).
+
+    ``batch_axis=1`` handles K-stacked SUPER-batches (fused-step training,
+    ``data.pipeline.stack_batches``): the leading scan axis stays
+    unsharded, the per-step batch axis shards over ``data``.
+    """
+    lead = (None,) * batch_axis
 
     def put(path, x):
         x = np.asarray(x)
         last = path[-1] if path else None
         # DictKey has .key; GetAttrKey (flax.struct fields) has .name
         key = getattr(last, "key", getattr(last, "name", None))
-        if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+        if x.ndim > batch_axis and \
+                x.shape[batch_axis] % mesh.shape["data"] == 0:
+            nd = x.ndim - batch_axis          # dims from the batch axis on
             if key == "input" and mesh.shape["model"] > 1:
-                if x.ndim == 4 and x.shape[1] % mesh.shape["model"] == 0:
-                    return jax.device_put(x, image_sharding(mesh))
-                if x.ndim == 5 and x.shape[2] % mesh.shape["model"] == 0:
+                if nd == 4 and \
+                        x.shape[batch_axis + 1] % mesh.shape["model"] == 0:
+                    return jax.device_put(x, NamedSharding(
+                        mesh, P(*lead, "data", "model", None, None)))
+                if nd == 5 and \
+                        x.shape[batch_axis + 2] % mesh.shape["model"] == 0:
                     # multi-view batches: (G, V, H, W, 3) — rows over model
                     return jax.device_put(x, NamedSharding(
-                        mesh, P("data", None, "model", None, None)))
-            return jax.device_put(x, NamedSharding(mesh, P("data")))
+                        mesh, P(*lead, "data", None, "model", None, None)))
+            return jax.device_put(x, NamedSharding(mesh, P(*lead, "data")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(put, batch)
 
 
 def shard_batch_local(batch: dict, mesh: Mesh,
-                      process_count: int | None = None) -> dict:
+                      process_count: int | None = None,
+                      batch_axis: int = 0) -> dict:
     """Assemble a GLOBAL device batch from this host's LOCAL shard (pod DP).
 
     Counterpart of the loaders' ``process_index/process_count`` slicing
@@ -91,20 +103,24 @@ def shard_batch_local(batch: dict, mesh: Mesh,
     """
     pc = process_count if process_count is not None else jax.process_count()
     if pc <= 1:
-        return shard_batch(batch, mesh)
+        return shard_batch(batch, mesh, batch_axis=batch_axis)
+    lead = (None,) * batch_axis
 
     def put(path, x):
         x = np.asarray(x)
-        if x.ndim >= 1:
-            if (x.shape[0] * pc) % mesh.shape["data"] != 0:
+        if x.ndim > batch_axis:
+            if (x.shape[batch_axis] * pc) % mesh.shape["data"] != 0:
                 # treating per-sample leaves as "replicated" here would
                 # hand SPMD DIFFERENT per-host arrays as one replicated
                 # operand — silent garbage, not a fallback
                 raise ValueError(
-                    f"global batch {x.shape[0] * pc} (leaf {path}) not "
-                    f"divisible by data axis {mesh.shape['data']}")
-            sh = NamedSharding(mesh, P("data"))
-            gshape = (x.shape[0] * pc,) + x.shape[1:]
+                    f"global batch {x.shape[batch_axis] * pc} (leaf "
+                    f"{path}) not divisible by data axis "
+                    f"{mesh.shape['data']}")
+            sh = NamedSharding(mesh, P(*lead, "data"))
+            gshape = (x.shape[:batch_axis]
+                      + (x.shape[batch_axis] * pc,)
+                      + x.shape[batch_axis + 1:])
             return jax.make_array_from_process_local_data(sh, x, gshape)
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, P()), x, x.shape)

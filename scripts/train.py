@@ -147,11 +147,14 @@ def main():
             from epipolarpose_tpu.core.self_supervised import load_refiner
             refiner = load_refiner(config, config.TPU.SS_REFINER)
             logger.info(f"refining pseudo-GT with {config.TPU.SS_REFINER}")
+    fused = max(1, int(config.TPU.FUSED_STEPS))
+    if self_supervised:
         tstep = make_ss_train_step(
             config, model, teacher, mesh=mesh, refiner=refiner,
-            flip_pairs=getattr(train_ds, "flip_pairs", ()))
+            flip_pairs=getattr(train_ds, "flip_pairs", ()),
+            fused_steps=fused)
     else:
-        tstep = make_train_step(config, model, mesh=mesh)
+        tstep = make_train_step(config, model, mesh=mesh, fused_steps=fused)
     estep = make_eval_step(config, model, mesh=mesh,
                            flip_pairs=getattr(train_ds, "flip_pairs", ()))
 
@@ -160,6 +163,10 @@ def main():
     # global array from this host's loader shard (falls through inside)
     from epipolarpose_tpu.parallel import shard_batch_local
     place = functools.partial(shard_batch_local, mesh=mesh)
+    # fused-step super-batches carry a leading (K,) scan axis; the batch
+    # axis to shard over 'data' is then axis 1 (validation stays unfused)
+    place_train = functools.partial(shard_batch_local, mesh=mesh,
+                                    batch_axis=1) if fused > 1 else place
 
     best_perf = -np.inf if higher_better else np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
@@ -168,7 +175,7 @@ def main():
         loader = epoch_loader(train_ds, batch_size, epoch,
                               multiview=self_supervised,
                               prefetch=int(config.TPU.PREFETCH),
-                              sharding=place)
+                              sharding=place_train, fused_steps=fused)
         state, avg_loss = train(config, loader, state, tstep, epoch, writer,
                                 output_dir)
         if args.profile and epoch == begin_epoch:
