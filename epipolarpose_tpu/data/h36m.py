@@ -81,8 +81,18 @@ class H36MDataset(JointsDataset):
 
         records = []
         group_map: dict[tuple, dict[str, int]] = collections.defaultdict(dict)
+        # SUBSAMPLE strides over TIME INSTANTS (frame keys in order of
+        # first appearance), not flat records: a per-record stride would
+        # keep one camera of frame 0, one of frame 1, ... and destroy
+        # every 4-view group (no SS batches at all). Frame-key striding
+        # keeps ALL views of every Nth instant — same record count on the
+        # standard 4-camera layout, and the reference's "every 64th
+        # frame" eval protocol reads naturally as frames, not rows [M].
+        frame_ids: dict[tuple, int] = {}
         for i, a in enumerate(annots):
-            if i % self.subsample:
+            fkey = (a.get("subject"), a.get("action"), a.get("subaction"),
+                    a.get("frame"))
+            if frame_ids.setdefault(fkey, len(frame_ids)) % self.subsample:
                 continue
             joints3d = (np.array(a["joints_3d"], np.float32)
                         if "joints_3d" in a else None)
@@ -329,9 +339,14 @@ class H36MDataset(JointsDataset):
         train annot nor enough fallback poses exist.
         """
         import jax
-        from epipolarpose_tpu.ops.metrics import fit_pss_centers
+        from epipolarpose_tpu.ops.metrics import (PSS_EMBED_VERSION,
+                                                  fit_pss_centers)
 
-        cache = os.path.join(self.root, "annot", f"pss_centers_k{k}.npy") \
+        # cache name keys on the embedding version: centers fit under an
+        # older _pose_embed definition must not be reused (ADVICE r2)
+        cache = os.path.join(
+            self.root, "annot",
+            f"pss_centers_k{k}_v{PSS_EMBED_VERSION}.npy") \
             if getattr(self, "root", None) else None
         if cache and os.path.exists(cache):
             return np.load(cache)

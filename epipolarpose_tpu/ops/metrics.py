@@ -127,6 +127,13 @@ def kmeans(key, points, k: int, iters: int = 20):
     return centers, jnp.argmin(d, axis=-1)
 
 
+# bump whenever _pose_embed's definition changes: persisted PSS-center
+# caches (h36m.pss_centers) key on this so centers fit under an older
+# embedding are ignored instead of silently skewing PSS (v2 = the round-2
+# switch from mean-centering to root-centering)
+PSS_EMBED_VERSION = 2
+
+
 def _pose_embed(poses, root_idx: int = 0):
     """Root-center + unit-norm flatten, the pose rep used by PSS [M]
     (root joint = index 0 in the H36M order, matching the root-relative

@@ -414,3 +414,32 @@ if __name__ == "__main__":
     out = subprocess.run([sys.executable, str(script)], text=True,
                          capture_output=True, env=env, timeout=300)
     assert "MP-GRAIN-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_h36m_subsample_keeps_view_groups(tmp_path):
+    """SUBSAMPLE must stride over time instants, keeping all 4 views of
+    every Nth frame — a flat per-record stride keeps one camera of frame
+    0, one of frame 1, ... and destroys EVERY multi-view group (found by
+    the SS input-fed bench: zero batches)."""
+    from epipolarpose_tpu.config import config as cfg
+    from epipolarpose_tpu.data import write_synthetic_h36m
+    from epipolarpose_tpu.data.h36m import CAMERA_IDS, H36MDataset
+    cfg.MODEL.NUM_JOINTS = 17
+    write_synthetic_h36m(str(tmp_path), cfg, num_frames=10,
+                         camera_ids=CAMERA_IDS)
+    cfg.DATASET.SUBSAMPLE = 5
+    try:
+        ds = H36MDataset(cfg, str(tmp_path), "train", is_train=True)
+        # frames 0 and 5 survive, each with all 4 views
+        assert len(ds.view_groups) == 2, len(ds.view_groups)
+        assert len(ds.records) == 8
+        frames = sorted({ds.records[g[0]].meta["frame"]
+                         for g in ds.view_groups})
+        assert frames == [0, 5], frames
+        for g in ds.view_groups:
+            assert len(g) == len(CAMERA_IDS)
+        # and the multi-view batcher actually yields a batch
+        b = next(ds.view_batches(2, shuffle=False))
+        assert b["input"].shape[:2] == (2, 4)
+    finally:
+        cfg.DATASET.SUBSAMPLE = 1

@@ -70,7 +70,8 @@ def test_pss_centers_prefer_train_split(tmp_path):
         ds = H36MDataset(cfg, str(tmp_path), "valid", is_train=False)
         centers = ds.pss_centers(50)
         assert centers is not None and centers.shape[0] == 50
-        cache = tmp_path / "annot" / "pss_centers_k50.npy"
+        from epipolarpose_tpu.ops.metrics import PSS_EMBED_VERSION
+        cache = tmp_path / "annot" / f"pss_centers_k50_v{PSS_EMBED_VERSION}.npy"
         assert cache.exists()                      # cached for reuse
         again = ds.pss_centers(50)
         np.testing.assert_array_equal(centers, again)
