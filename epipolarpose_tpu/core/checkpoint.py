@@ -47,12 +47,27 @@ class CheckpointManager:
         )
         prev = self._best.latest_step()
         if prev is not None:
-            try:
-                m = self._best.metadata(prev)
-                self._best_perf = float(
-                    (m.custom_metadata or {}).get("perf"))
-            except Exception:
-                self._best_perf = None
+            self._best_perf = self._read_best_perf(prev)
+
+    def _read_best_perf(self, step: int) -> float | None:
+        """Recover the best checkpoint's perf on resume. Metadata first;
+        if absent/unreadable, fall back to the 'perf' leaf saved INSIDE
+        the best payload itself — returning None here would make the next
+        save overwrite best/ with a possibly worse checkpoint."""
+        try:
+            m = self._best.metadata(step)
+            perf = (m.custom_metadata or {}).get("perf")
+            if perf is not None:
+                return float(perf)
+        except Exception:
+            pass
+        try:
+            # untyped full restore (once, on resume only): the payload
+            # always carries its own 'perf' leaf (_payload)
+            restored = self._best.restore(step)
+            return float(np.asarray(restored["perf"]))
+        except Exception:
+            return None
 
     def _payload(self, state, epoch: int, perf: float):
         return {

@@ -88,3 +88,26 @@ def test_best_tracking_min_mode(tmp_path):
     mngr.wait()
     assert mngr.best_step == 2
     mngr.close()
+
+
+def test_best_perf_recovered_from_payload_on_resume(tmp_path):
+    """ADVICE r2: when best/ metadata is unreadable or lacks 'perf', the
+    manager must fall back to the 'perf' leaf saved inside the best
+    payload — NOT reset to None (which would let the next save overwrite
+    best/ with a worse checkpoint)."""
+    state = _tiny_state()
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), best_mode="min")
+    mngr.save(1, state, epoch=0, perf=42.0, wait=True)
+    mngr.wait()
+    mngr.close()
+
+    reopened = CheckpointManager(str(tmp_path / "ckpt"), best_mode="min")
+    assert reopened._best_perf == 42.0            # metadata path
+    # simulate broken/legacy metadata: the payload fallback must win
+    reopened._best.metadata = lambda s: (_ for _ in ()).throw(IOError())
+    assert reopened._read_best_perf(1) == 42.0
+    # and a worse perf must NOT displace the recovered best
+    reopened._best_perf = reopened._read_best_perf(1)
+    assert not reopened._improved(60.0)
+    assert reopened._improved(40.0)
+    reopened.close()
