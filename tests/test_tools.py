@@ -122,3 +122,44 @@ def test_export_serve_roundtrip():
         assert got.shape == (n, 17, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_convert_cameras_h5_ascii_name(tmp_path):
+    """ADVICE r2: an h5 whose 'name' is ASCII/uint8 (not MATLAB's uint16
+    char codes) must decode to the right camera id, not garbage that
+    silently falls back to positional CAMERA_IDS."""
+    import h5py
+    from prepare_h36m import convert_cameras_h5
+    path = tmp_path / "cameras.h5"
+    with h5py.File(path, "w") as f:
+        # camera2 slot but named 54138969: positional fallback would
+        # mis-key it as CAMERA_IDS[1] = 55011271
+        g = f.create_group("subject1/camera2")
+        g["name"] = np.frombuffer(b"54138969", np.uint8)
+        g["R"] = np.eye(3)
+        g["T"] = np.zeros(3)
+        g["f"] = np.array([1000.0, 1000.0])
+        g["c"] = np.array([500.0, 500.0])
+        g["k"] = np.zeros(3)
+        g["p"] = np.zeros(2)
+    cams = convert_cameras_h5(str(path))
+    assert list(cams) == ["1:54138969"]
+
+
+def test_profile_fused_matmul_stats_kernel():
+    """tools/profile_step.py's Mosaic experiment kernel (interpret mode):
+    y = x @ w with a fused (sum, sum-of-squares) stats epilogue must match
+    the XLA reference bit-for-bit-ish, so re-running the headroom
+    experiment after a toolchain bump measures perf, not bugs."""
+    import numpy as np
+    from profile_step import fused_matmul_stats, xla_matmul_stats
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 32)).astype(np.float32)
+    y_f, s_f = fused_matmul_stats(x, w, tile_m=16, tile_n=16,
+                                  interpret=True)
+    y_x, s_x = xla_matmul_stats(x, w)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x),
+                               rtol=1e-4, atol=1e-4)

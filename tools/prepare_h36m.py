@@ -30,6 +30,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from epipolarpose_tpu.data.h36m import CAMERA_IDS  # noqa: E402
 
 
+def _decode_camera_name(arr: np.ndarray) -> str:
+    """Decode a cameras.h5 'Name' dataset by its dtype, not a fixed
+    codec (ADVICE r2): MATLAB char exports come through as uint16
+    (UTF-16-LE code units); ASCII/bytes exports as uint8 or bytes.
+    Decoding uint8 data as utf-16-le yields garbage whose digits are
+    stripped, silently mis-keying cameras by group order."""
+    if arr.dtype.kind in ("S", "U"):                 # string datasets
+        return "".join(np.char.decode(arr.astype("S"), "ascii").ravel()) \
+            if arr.dtype.kind == "S" else "".join(arr.ravel())
+    if arr.dtype == np.uint16:
+        return arr.tobytes().decode("utf-16-le", "ignore")
+    if arr.dtype == np.uint8:
+        return arr.tobytes().decode("ascii", "ignore")
+    # numeric name (unlikely): digits of the values
+    return "".join(str(int(v)) for v in arr.ravel())
+
+
 def convert_cameras_h5(path: str) -> dict:
     """una-dinosauria cameras.h5 -> {"<subject>:<camera_id>": {...}}."""
     import h5py
@@ -45,9 +62,8 @@ def convert_cameras_h5(path: str) -> dict:
                 # the h5 (MATLAB export) capitalizes the dataset as 'Name'
                 name_key = next((k for k in ("Name", "name") if k in g),
                                 None)
-                cam_id = (np.array(g[name_key]).tobytes()
-                          .decode("utf-16-le", "ignore")
-                          if name_key else CAMERA_IDS[cam_idx])
+                cam_id = _decode_camera_name(
+                    np.array(g[name_key])) if name_key else ""
                 cam_id = "".join(ch for ch in cam_id if ch.isdigit()) \
                     or CAMERA_IDS[cam_idx]
                 # MATLAB h5 arrays are column-major: R must be TRANSPOSED
