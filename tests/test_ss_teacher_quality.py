@@ -1,0 +1,185 @@
+"""SS loop with an IMPERFECT teacher (VERDICT r2 next-round #4).
+
+Every other SS test injects GT detections or accepts noise; here a tiny 2D
+teacher is actually TRAINED for a few dozen steps on the synthetic
+multi-view crops, then driven through the real
+teacher->decode->triangulate path. Pins:
+
+- pseudo-GT MPJPE ordering: GT-teacher << trained-teacher << random-teacher
+- the imperfect teacher provides real supervision (student loss > 0 and
+  descends), while a random teacher's degenerate pseudo-GT is sanitized
+  to (near-)zero supervision
+- the SS_CONF_MIN confidence gate trades coverage for pseudo-GT quality
+  monotonically across {0, 0.05, 0.2} (numbers recorded in
+  docs/SS_TEACHER.md)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epipolarpose_tpu.config import config
+from epipolarpose_tpu.core import create_train_state, make_train_step
+from epipolarpose_tpu.core.self_supervised import (
+    Teacher, generate_pseudo_gt, make_ss_train_step, teacher_detect,
+)
+from epipolarpose_tpu.core.steps import normalize_images
+from epipolarpose_tpu.data import SyntheticMultiviewDataset
+from epipolarpose_tpu.models import get_model, init_pose_net
+
+
+def _ss_cfg():
+    cfg = config
+    cfg.MODEL.NAME = "pose3d_resnet"
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.EXTRA.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
+    cfg.MODEL.EXTRA.TARGET_TYPE = "integral"
+    cfg.MODEL.EXTRA.DEPTH_DIM = 4
+    cfg.LOSS.TYPE = "IntegralL1Loss"
+    cfg.DATASET.LABEL_SOURCE = "triangulated"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _teacher_cfg(cfg):
+    """2D-teacher view of the same geometry (gaussian heatmap head)."""
+    import copy
+    t = copy.deepcopy(cfg)
+    t.MODEL.NAME = "pose_resnet"
+    t.MODEL.EXTRA.TARGET_TYPE = "gaussian"
+    t.MODEL.EXTRA.DEPTH_DIM = 1          # 2D head (J channels, not J*D)
+    t.MODEL.EXTRA.SIGMA = 1.0            # 16x16 heatmap needs a tight blob
+    t.LOSS.TYPE = "JointsMSELoss"
+    t.TRAIN.LR = 0.003
+    return t
+
+
+def _train_teacher(tcfg, ds, steps: int) -> Teacher:
+    """Train the 2D heatmap teacher for a few epochs' worth of steps on
+    the clean multi-view crops (GT 2D supervision, like MPII pretrain)."""
+    model = get_model(tcfg)
+    state = create_train_state(tcfg, model, jax.random.PRNGKey(2), 100)
+    step = make_train_step(tcfg, model, donate=False)
+    batches = list(ds.batches(16, seed=0, shuffle=True, drop_last=True))
+    for s in range(steps):
+        state, m = step(state, batches[s % len(batches)])
+    return Teacher(model, state.params, state.batch_stats), \
+        float(m["acc"])
+
+
+def _pseudo_gt_mpjpe(cfg, ds, teacher_or_none, n_groups=6):
+    """Run (teacher -> decode -> undistort -> DLT) on clean crops and
+    score pseudo-GT against the true world poses. Returns
+    (mpjpe_mm, conf (G, V, J), per-joint err (G, J))."""
+    batch = next(ds.view_batches(n_groups, shuffle=False))
+    G, V = batch["input"].shape[:2]
+    J = int(cfg.MODEL.NUM_JOINTS)
+    flat = lambda x: x.reshape((G * V,) + x.shape[2:])
+    if teacher_or_none is None:                       # GT detector
+        det = np.stack([[ds.records[i].joints for i in g]
+                        for g in ds.view_groups[:G]])
+        conf = np.ones((G, V, J), np.float32)
+    else:
+        imgs = normalize_images(jnp.asarray(flat(batch["input"])))
+        j_src, conf = teacher_detect(cfg, teacher_or_none, imgs,
+                                     flat(batch["center"]),
+                                     flat(batch["scale"]))
+        det = np.asarray(j_src).reshape(G, V, J, 2)
+        conf = np.asarray(conf).reshape(G, V, J)
+    X_w, _ = generate_pseudo_gt(cfg, jnp.asarray(det), jnp.asarray(conf),
+                                batch["camera"])
+    gt = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
+                   for t in range(G)])
+    err = np.linalg.norm(np.asarray(X_w) - gt, axis=-1)   # (G, J)
+    return float(err.mean()), conf, err
+
+
+def _student_losses(cfg, ds, teacher, detect_fn=None, n_groups=4,
+                    steps=8):
+    """Train a fresh student for a few SS steps; return per-step losses."""
+    model = get_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100)
+    batch = next(ds.view_batches(n_groups, shuffle=False))
+    batch.pop("joints_3d", None)
+    step = make_ss_train_step(cfg, model, teacher, donate=False,
+                              detect_fn=detect_fn)
+    losses = []
+    for _ in range(steps):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    return losses
+
+
+@pytest.mark.slow
+def test_imperfect_teacher_lands_between_extremes():
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0           # ungated: score raw pseudo-GT
+    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
+                                   image_shape=(64, 64))
+    tcfg = _teacher_cfg(cfg)
+    trained, acc = _train_teacher(tcfg, ds, steps=150)
+    random_t = Teacher(trained.model, *init_pose_net(
+        trained.model, jax.random.PRNGKey(7), (64, 64)))
+
+    e_gt, _, _ = _pseudo_gt_mpjpe(cfg, ds, None)
+    e_tr, conf_tr, _ = _pseudo_gt_mpjpe(cfg, ds, trained)
+    e_rnd, conf_rnd, _ = _pseudo_gt_mpjpe(cfg, ds, random_t)
+    # GT detections triangulate to sub-mm; a few-epoch teacher is merely
+    # imperfect; a random teacher is structure-free garbage
+    assert e_gt < 1.0, e_gt
+    assert e_gt < e_tr < e_rnd, (e_gt, e_tr, e_rnd)
+    # clearly better than noise, clearly worse than perfect (an "imperfect
+    # teacher": at 150 steps on 16x16 heatmaps it localizes blobs but not
+    # to GT precision)
+    assert e_tr < 0.7 * e_rnd, (e_tr, e_rnd)
+    assert e_tr > 10.0 * e_gt, (e_tr, e_gt)
+    # trained teacher is genuinely learned: confident where random is not
+    assert conf_tr.mean() > 2 * conf_rnd.mean(), (conf_tr.mean(),
+                                                  conf_rnd.mean())
+
+    # Student supervision signal. NOTE loss magnitude at a fixed student
+    # init does NOT order by teacher quality — the loss measures distance
+    # to the targets, and a random teacher's degenerate triangulations are
+    # sanitized to zero-weight targets (nan-mask in make_ss_train_step),
+    # collapsing its loss to ~0. The meaningful properties are:
+    #  - the imperfect teacher provides REAL supervision (loss > 0 and
+    #    the student descends on it),
+    #  - the random teacher provides (near-)no supervision.
+    losses_tr = _student_losses(cfg, ds, trained)
+    losses_rnd = _student_losses(cfg, ds, random_t)
+    assert losses_tr[0] > 0.1, losses_tr
+    # steady descent (measured ~0.5%/step at this scale): monotone and
+    # a real cumulative drop over 8 steps
+    assert all(b < a + 1e-4 for a, b in zip(losses_tr, losses_tr[1:])), \
+        losses_tr
+    assert losses_tr[-1] < losses_tr[0] * 0.98, losses_tr
+    assert losses_rnd[0] < 0.05 * losses_tr[0], (losses_rnd, losses_tr)
+
+
+@pytest.mark.slow
+def test_conf_gate_trades_coverage_for_quality():
+    """SS_CONF_MIN sweep {0, 0.05, 0.2} with a trained imperfect teacher:
+    raising the gate must monotonically shrink coverage and must not
+    worsen the surviving pseudo-GT (table: docs/SS_TEACHER.md)."""
+    cfg = _ss_cfg()
+    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
+                                   image_shape=(64, 64))
+    trained, _ = _train_teacher(_teacher_cfg(cfg), ds, steps=150)
+    _, conf, err = _pseudo_gt_mpjpe(cfg, ds, trained)
+    min_conf = conf.min(axis=1)                   # (G, J) gate statistic
+    rows = []
+    for thresh in (0.0, 0.05, 0.2):
+        keep = min_conf > thresh
+        coverage = float(keep.mean())
+        quality = float(err[keep].mean()) if keep.any() else np.nan
+        rows.append((thresh, coverage, quality))
+    for (t0, c0, q0), (t1, c1, q1) in zip(rows, rows[1:]):
+        assert c1 <= c0 + 1e-9, rows              # coverage shrinks
+        if c1 > 0:
+            assert q1 <= q0 * 1.2, rows           # quality not worse
+    assert rows[0][1] > 0.9, rows                 # ungated ~ full coverage
+    print("SS_CONF_MIN sweep (thresh, coverage, pseudo-GT MPJPE):", rows)
