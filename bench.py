@@ -382,6 +382,12 @@ def bench_e2e_input_fed(extras):
             "unit": "img/s (disk JPEG -> loader -> K-step fused driver)",
             "fused_steps": K,
             "host_cores": multiprocessing.cpu_count(),
+            # e2e rate / loader-only rate: how much of the (noisy, load-
+            # dependent) host decode rate the pipeline actually delivers
+            # to the device. This is the number that judges the FRAMEWORK
+            # on a host whose absolute rates swing run to run.
+            "pipeline_efficiency": round(
+                (seen / dt) / attribution["loader_images_per_sec"], 2),
             **attribution,
         }, extras)
 
@@ -401,8 +407,9 @@ def bench_ss_e2e_input_fed(extras):
                                                        make_ss_train_step)
     from epipolarpose_tpu.data import write_synthetic_h36m
     from epipolarpose_tpu.data.h36m import CAMERA_IDS, H36MDataset
-    from epipolarpose_tpu.data.pipeline import device_prefetch, \
-        stack_batches
+    from epipolarpose_tpu.data.pipeline import (device_prefetch,
+                                                host_prefetch,
+                                                stack_batches)
     from epipolarpose_tpu.models import get_model
 
     cfg = load_config(ROOT / "experiments" / "h36m"
@@ -433,7 +440,7 @@ def bench_ss_e2e_input_fed(extras):
             t0 = time.time()
             seen = 0
             m = None
-            for batch in device_prefetch(it, size=2):
+            for batch in device_prefetch(host_prefetch(it, 2), size=2):
                 state, m = fused(state, batch)
                 seen += G * V * int(batch["input"].shape[0])
             jax.block_until_ready(m["loss"])
@@ -445,6 +452,7 @@ def bench_ss_e2e_input_fed(extras):
                     "step; counts student crops)",
             "fused_steps": K,
             "host_cores": multiprocessing.cpu_count(),
+            "pipeline_efficiency": round((seen / dt) / loader_rate, 2),
             "loader_images_per_sec": round(loader_rate, 1),
             "loader_path": ("native" if calib and calib["use_native"]
                             else "cv2-pool" if calib is not None

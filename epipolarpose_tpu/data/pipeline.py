@@ -38,23 +38,15 @@ def stack_batches(batches: Iterator, k: int,
         yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
 
 
-def device_prefetch(batches: Iterator[dict], size: int = 2,
-                    sharding=None) -> Iterator[dict]:
-    """Prefetch ``size`` batches onto device ahead of consumption.
-
-    ``sharding``: optional jax.sharding.Sharding to place batches with
-    (e.g. batch-sharded NamedSharding for data parallelism).
-    """
+def _pipeline_stage(batches: Iterator, size: int,
+                    transform: Callable) -> Iterator:
+    """Run ``transform`` over ``batches`` on a background thread with a
+    bounded queue of ``size`` results — one overlap stage of the host
+    pipeline. Exceptions propagate to the consumer; an abandoned consumer
+    releases the producer (and any queued results) promptly."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
     stop = threading.Event()
-
-    def put(b):
-        if callable(sharding):          # e.g. partial(shard_batch, mesh=...)
-            return sharding(b)
-        if sharding is not None:
-            return jax.device_put(b, sharding)
-        return jax.device_put(b)
 
     def enqueue(item) -> bool:
         # bounded put so an abandoned consumer (exception mid-epoch, early
@@ -71,11 +63,20 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
     def producer():
         try:
             for b in batches:
-                if not enqueue(put(b)):
+                if not enqueue(transform(b)):
                     return
         except BaseException as e:          # surface errors to the consumer
             enqueue(e)
             return
+        finally:
+            # release an upstream pipeline stage (its own producer thread
+            # and queued batches) as soon as this stage stops pulling
+            close = getattr(batches, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
         enqueue(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -97,6 +98,34 @@ def device_prefetch(batches: Iterator[dict], size: int = 2,
                 q.get_nowait()
             except queue.Empty:
                 break
+
+
+def host_prefetch(batches: Iterator, size: int = 2) -> Iterator:
+    """Stage-1 prefetch: decode/stack batches ahead on a background
+    thread (host work only). Chained before :func:`device_prefetch` this
+    overlaps host decode with the host->device transfer — without it the
+    single prefetch thread runs decode THEN transfer serially, and on a
+    transfer-bound link the loader sits idle exactly that long (measured:
+    the two stages are comparable, so overlap ~doubles input-fed rate).
+    """
+    return _pipeline_stage(batches, size, lambda b: b)
+
+
+def device_prefetch(batches: Iterator[dict], size: int = 2,
+                    sharding=None) -> Iterator[dict]:
+    """Prefetch ``size`` batches onto device ahead of consumption.
+
+    ``sharding``: optional jax.sharding.Sharding to place batches with
+    (e.g. batch-sharded NamedSharding for data parallelism).
+    """
+    def put(b):
+        if callable(sharding):          # e.g. partial(shard_batch, mesh=...)
+            return sharding(b)
+        if sharding is not None:
+            return jax.device_put(b, sharding)
+        return jax.device_put(b)
+
+    return _pipeline_stage(batches, size, put)
 
 
 def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
@@ -142,4 +171,7 @@ def epoch_loader(dataset, batch_size: int, epoch: int, is_train: bool = True,
                              process_index=pi, process_count=pc)
     if fused_steps > 1:
         it = stack_batches(it, fused_steps)
+    # two overlapped stages: decode/stack (host thread) || device_put
+    # (transfer thread) || training (device) — see host_prefetch
+    it = host_prefetch(it, size=max(1, prefetch))
     return device_prefetch(it, size=prefetch, sharding=sharding)

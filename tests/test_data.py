@@ -443,3 +443,62 @@ def test_h36m_subsample_keeps_view_groups(tmp_path):
         assert b["input"].shape[:2] == (2, 4)
     finally:
         cfg.DATASET.SUBSAMPLE = 1
+
+
+def test_two_stage_prefetch_orders_and_overlaps():
+    """host_prefetch -> device_prefetch chaining (the two-stage input
+    pipeline epoch_loader builds): order preserved, both stages actually
+    run concurrently with the consumer, errors propagate through both."""
+    import threading
+    import time
+    from epipolarpose_tpu.data.pipeline import host_prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(6):
+            produced.append(i)
+            time.sleep(0.05)
+            yield {"x": np.full(3, i, np.float32)}
+
+    it = device_prefetch(host_prefetch(gen(), size=2), size=2)
+    first = next(it)
+    # with two decoupled stages + queues, the source should have run
+    # ahead of the single consumed batch
+    time.sleep(0.4)
+    assert len(produced) >= 3, produced
+    rest = list(it)
+    vals = [int(np.asarray(b["x"])[0]) for b in [first] + rest]
+    assert vals == list(range(6)), vals
+
+    def bad():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("boom2")
+
+    it = device_prefetch(host_prefetch(bad(), size=1), size=1)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="boom2"):
+        next(it)
+
+
+def test_two_stage_prefetch_abandon_releases_upstream():
+    """Abandoning the device stage must also stop the host stage's
+    producer (the stage closes its upstream iterator on exit)."""
+    import time
+    from epipolarpose_tpu.data.pipeline import host_prefetch
+    produced = []
+
+    def gen():
+        for i in range(200):
+            produced.append(i)
+            yield {"x": np.full(3, i)}
+
+    it = device_prefetch(host_prefetch(gen(), size=1), size=1)
+    next(it)
+    it.close()
+    time.sleep(1.0)
+    stalled_at = len(produced)
+    time.sleep(1.2)
+    assert len(produced) == stalled_at < 200, \
+        "upstream producer kept running after abandonment"
