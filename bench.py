@@ -79,10 +79,16 @@ def _train_throughput(cfg, batch_size: int, image_size: int,
 
     # Scan K steps inside one jit: measures pure device throughput, free
     # of the per-step host dispatch RTT (~25ms through the axon tunnel).
+    # The input is perturbed by a numerically-negligible function of the
+    # carried params so the batch-only preprocessing (normalize, target
+    # generation) cannot be hoisted out of the loop as loop-invariant —
+    # real training pays it per step on fresh batches.
     @jax.jit
     def run_k(state):
         def body(st, _):
-            st, m = step(st, batch)
+            p0 = jax.tree.leaves(st.params)[0].ravel()[0]
+            b = dict(batch, input=batch["input"] + p0 * 1e-30)
+            st, m = step(st, b)
             return st, m["loss"]
         return jax.lax.scan(body, state, None, length=K)
 
@@ -241,10 +247,17 @@ def bench_ss_loop(extras):
     step = make_ss_train_step(cfg, model, teacher, donate=True)
     K, iters = 10, 3
 
+    # the frozen teacher forward + DLT are state-INDEPENDENT: with a
+    # fixed batch they would be loop-invariant, and XLA's while-loop LICM
+    # could hoist them — measuring teacher+triangulation once per K steps
+    # instead of every step. Perturb the input from the carried params
+    # (numerically ~1e-30) so every stage runs each iteration.
     @jax.jit
     def run_k(state):
         def body(st, _):
-            st, m = step(st, batch)
+            p0 = jax.tree.leaves(st.params)[0].ravel()[0]
+            b = dict(batch, input=batch["input"] + p0 * 1e-30)
+            st, m = step(st, b)
             return st, m["loss"]
         return jax.lax.scan(body, state, None, length=K)
 
@@ -262,14 +275,27 @@ def bench_ss_loop(extras):
     }, extras)
 
 
-def _loader_attribution(ds, bs: int, epochs_worth: int = 1) -> dict:
+def _loader_path(ds) -> str:
+    """Render which decode path the one-shot calibration chose."""
+    calib = getattr(ds, "calibration", None)
+    if calib is not None:
+        return "native" if calib["use_native"] else "cv2-pool"
+    return str(getattr(ds.cfg.TPU, "NATIVE_LOADER", "?"))
+
+
+def _loader_attribution(ds, bs: int) -> dict:
     """Measure the host pipeline stages separately so the e2e number is
     attributable (VERDICT r2 weak #1: the aggregate swung 42-184 img/s on
     identical code with no way to see which stage moved)."""
     import jax
 
-    # 1) loader-only rate (decode+warp on host, no device involved);
-    #    first batch also triggers the one-shot path calibration
+    # 0) run the one-shot path calibration OUTSIDE the timed region — its
+    #    3+3 full-batch probe decodes would otherwise deflate the loader
+    #    rate (and push pipeline_efficiency past 1.0, since the e2e epoch
+    #    below is measured after a warm epoch)
+    next(iter(ds.batches(bs, seed=1, shuffle=False, drop_last=True)), None)
+
+    # 1) loader-only rate (decode+warp on host, no device involved)
     batches = []
     t0 = time.time()
     for b in ds.batches(bs, seed=1, shuffle=True, drop_last=True):
@@ -292,9 +318,8 @@ def _loader_attribution(ds, bs: int, epochs_worth: int = 1) -> dict:
     return {
         "loader_images_per_sec": round(n_imgs / loader_dt, 1),
         "h2d_MB_per_sec": round(nbytes / 1e6 / h2d_s, 1),
-        "loader_path": ("native" if calib and calib["use_native"]
-                        else "cv2-pool" if calib is not None
-                        else str(getattr(ds.cfg.TPU, "NATIVE_LOADER", "?"))),
+        "h2d_images_per_sec": round(sample["input"].shape[0] / h2d_s, 1),
+        "loader_path": _loader_path(ds),
         **({"loader_calibration_advantage":
             round(calib["native_advantage"], 3)} if calib else {}),
     }
@@ -320,11 +345,13 @@ def _dispatch_latency(step, fused_step, state, dev_batch, dev_super,
 
     t_single = timed(step, state, dev_batch, iters=max(K, 4))
     t_fused = timed(fused_step, state, dev_super, iters=2)
+    bs = int(dev_batch["input"].shape[0])
     return {
         "dispatch_ms_single_step": round(t_single * 1e3, 1),
         "dispatch_ms_per_step_fused": round(t_fused / K * 1e3, 1),
         "dispatch_overhead_ms_amortized": round(
             (t_single - t_fused / K) * 1e3, 1),
+        "device_images_per_sec": round(bs / (t_fused / K), 1),
     }
 
 
@@ -374,20 +401,30 @@ def bench_e2e_input_fed(extras):
                                       fused_steps=K):
                 state, m = fused(state, batch)
                 seen += int(batch["input"].shape[0]) * bs
-            jax.block_until_ready(m["loss"])    # fence the whole epoch
+            # host-transfer fence (equivalent to block_until_ready in
+            # steady state, robust to the rare tunnel stall — PROFILE_r2)
+            _ = float(np.asarray(m["loss"]).ravel()[-1])
             dt = time.time() - t0
+        # the three overlapped stages each have a measured ceiling; with
+        # full overlap the e2e rate can at best hit the SLOWEST one.
+        # pipeline_efficiency = e2e / that ceiling — the number that
+        # judges the FRAMEWORK independently of which stage this
+        # particular host bottlenecks (1-core decode, tunneled h2d, ...)
+        stage_rates = {
+            "loader": attribution["loader_images_per_sec"],
+            "h2d": attribution["h2d_images_per_sec"],
+            "device": attribution["device_images_per_sec"],
+        }
+        bottleneck = min(stage_rates, key=stage_rates.get)
         _log_extra({
             "metric": "e2e_input_fed_train_images_per_sec",
             "value": round(seen / dt, 1),
             "unit": "img/s (disk JPEG -> loader -> K-step fused driver)",
             "fused_steps": K,
             "host_cores": multiprocessing.cpu_count(),
-            # e2e rate / loader-only rate: how much of the (noisy, load-
-            # dependent) host decode rate the pipeline actually delivers
-            # to the device. This is the number that judges the FRAMEWORK
-            # on a host whose absolute rates swing run to run.
             "pipeline_efficiency": round(
-                (seen / dt) / attribution["loader_images_per_sec"], 2),
+                (seen / dt) / stage_rates[bottleneck], 2),
+            "bottleneck_stage": bottleneck,
             **attribution,
         }, extras)
 
@@ -426,12 +463,35 @@ def bench_ss_e2e_input_fed(extras):
         fused = make_ss_train_step(cfg, model, teacher, donate=False,
                                    flip_pairs=ds.flip_pairs, fused_steps=K)
 
-        # loader-only rate (dual-crop: counts student crops)
+        # calibration probe outside the timed region (see
+        # _loader_attribution), then loader-only rate (dual-crop: counts
+        # student crops)
+        next(iter(ds.view_batches(G, seed=1, shuffle=False,
+                                  augment=True)), None)
         t0 = time.time()
         n_imgs = sum(b["input"].shape[0] * V for b in ds.view_batches(
             G, seed=1, shuffle=True, augment=True))
         loader_rate = n_imgs / (time.time() - t0)
-        calib = getattr(ds, "calibration", None)
+
+        # per-stage ceilings (as in bench_e2e_input_fed): h2d of one
+        # super-batch, and the fused SS step device-resident
+        host_super = next(stack_batches(
+            ds.view_batches(G, seed=1, shuffle=True, augment=True), K))
+        super_imgs = G * V * K
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            dev_super = jax.device_put(host_super)
+            jax.block_until_ready(dev_super)
+            reps.append(time.time() - t0)
+        h2d_rate = super_imgs / float(np.median(reps))
+        st2, m2 = fused(state, dev_super)        # compile + warm
+        _ = float(np.asarray(m2["loss"]).ravel()[-1])
+        t0 = time.time()
+        for _ in range(2):
+            st2, m2 = fused(state, dev_super)
+        _ = float(np.asarray(m2["loss"]).ravel()[-1])
+        device_rate = 2 * super_imgs / (time.time() - t0)
 
         for epoch in range(2):
             it = stack_batches(
@@ -443,8 +503,11 @@ def bench_ss_e2e_input_fed(extras):
             for batch in device_prefetch(host_prefetch(it, 2), size=2):
                 state, m = fused(state, batch)
                 seen += G * V * int(batch["input"].shape[0])
-            jax.block_until_ready(m["loss"])
+            _ = float(np.asarray(m["loss"]).ravel()[-1])
             dt = time.time() - t0
+        stage_rates = {"loader": loader_rate, "h2d": h2d_rate,
+                       "device": device_rate}
+        bottleneck = min(stage_rates, key=stage_rates.get)
         _log_extra({
             "metric": "ss_e2e_input_fed_train_images_per_sec",
             "value": round(seen / dt, 1),
@@ -452,11 +515,13 @@ def bench_ss_e2e_input_fed(extras):
                     "step; counts student crops)",
             "fused_steps": K,
             "host_cores": multiprocessing.cpu_count(),
-            "pipeline_efficiency": round((seen / dt) / loader_rate, 2),
+            "pipeline_efficiency": round(
+                (seen / dt) / stage_rates[bottleneck], 2),
+            "bottleneck_stage": bottleneck,
             "loader_images_per_sec": round(loader_rate, 1),
-            "loader_path": ("native" if calib and calib["use_native"]
-                            else "cv2-pool" if calib is not None
-                            else str(cfg.TPU.NATIVE_LOADER)),
+            "h2d_images_per_sec": round(h2d_rate, 1),
+            "device_images_per_sec": round(device_rate, 1),
+            "loader_path": _loader_path(ds),
         }, extras)
 
 

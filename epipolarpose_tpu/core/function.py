@@ -46,11 +46,16 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
         data_time.update(time.time() - end)
         state, metrics = train_step(state, batch)
         # fused-step driver (TPU.FUSED_STEPS=K): metrics carry a leading
-        # (K,) axis — one dispatch covered K batches' worth of samples
-        fused_k = int(np.prod(np.shape(metrics["loss"]))) or 1
-        n = int(np.asarray(batch["input"].shape[0]))
-        if fused_k > 1:
-            n = fused_k * int(np.asarray(batch["input"].shape[1]))
+        # (K,) axis — one dispatch covered K batches' worth of samples.
+        # Detect fused by RANK, not size: a tail super-batch can hold a
+        # single stacked batch (K_tail=1, loss shape (1,)) and must still
+        # count input.shape[1] samples, not the scan axis.
+        fused = np.ndim(metrics["loss"]) >= 1
+        if fused:
+            n = int(np.prod(np.shape(metrics["loss"]))) \
+                * int(batch["input"].shape[1])
+        else:
+            n = int(batch["input"].shape[0])
         if i % int(cfg.PRINT_FREQ) == 0:
             if cfg.DEBUG.DEBUG and output_dir is not None \
                     and batch["input"].ndim == 4:
@@ -61,10 +66,13 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
                     None, None, None,
                     f"{output_dir}/train_{epoch}_{i}")
             # sync only when logging so the device pipeline stays full
+            # (one host materialization per metric per log line)
             loss_v = float(np.mean(np.asarray(metrics["loss"])))
             losses.update(loss_v, n)
+            acc_v = None
             if "acc" in metrics:
-                accs.update(float(np.mean(np.asarray(metrics["acc"]))), n)
+                acc_v = float(np.mean(np.asarray(metrics["acc"])))
+                accs.update(acc_v, n)
             batch_time.update(time.time() - end)
             speed = n / max(batch_time.val, 1e-9)
             msg = (f"Epoch: [{epoch}][{i}]\t"
@@ -77,8 +85,7 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
             if writer is not None:
                 writer.write_scalars(int(state.step), {
                     "train/loss": loss_v,
-                    **({"train/acc": float(np.mean(np.asarray(
-                        metrics['acc'])))} if "acc" in metrics else {})})
+                    **({"train/acc": acc_v} if acc_v is not None else {})})
         end = time.time()
     if metrics is not None and losses.count == 0:
         losses.update(float(np.mean(np.asarray(metrics["loss"]))))

@@ -206,3 +206,31 @@ def test_fused_ss_step_matches_sequential():
                       jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    atol=2.5e-3)
+
+
+def test_train_loop_tail_superbatch_sample_weighting():
+    """A tail super-batch holding ONE stacked batch (loss shape (1,)) must
+    weight the loss average by the true batch size, not the scan axis.
+    Regression for the round-3 review: fused detection by rank, not size."""
+    import types
+
+    cfg = _small_cfg("gaussian")
+    cfg.PRINT_FREQ = 1
+
+    class FakeState:
+        step = 0
+
+    # super-batch (K=2, bs=8) with loss 1.0/step, then a (1, bs=8) tail
+    # with loss 4.0: correct weighted avg = (16*1 + 8*4)/24 = 2.0; the
+    # size-based bug weighted the tail by n=1 -> (16+4)/17 = 1.18
+    batches = [
+        {"input": np.zeros((2, 8, 4, 4, 3), np.float32)},
+        {"input": np.zeros((1, 8, 4, 4, 3), np.float32)},
+    ]
+    losses = iter([np.array([1.0, 1.0]), np.array([4.0])])
+
+    def fake_step(state, batch):
+        return state, {"loss": next(losses)}
+
+    state, avg = train(cfg, iter(batches), FakeState(), fake_step, epoch=0)
+    np.testing.assert_allclose(avg, 2.0)

@@ -44,21 +44,76 @@ CONV1X1_SHAPES = [
 
 
 def timed_scan(fn, args, K=10, iters=3):
-    """Time fn under a K-step scan per dispatch; returns seconds/step."""
+    """Time fn under a K-step scan per dispatch; returns seconds/step.
+
+    Two compiler traps guarded against (round-3 review): (1) consuming
+    only one element of one output leaf lets XLA dead-code-eliminate the
+    rest of the computation (a stats epilogue, a backward pass) — here the
+    FULL output pytree is the scan carry, so every leaf is live and
+    materialized each step, like the real pipeline's tensors, without
+    adding artificial reduction traffic; (2) a loop-invariant body can be
+    hoisted out of the scan — the first floating input leaf is perturbed
+    by a numerically-negligible (~1e-30) function of the carry, chaining
+    each iteration to the previous one. ``fn`` must therefore RETURN its
+    full outputs (not slices) for the timing to cover them.
+    """
+    out_shapes = jax.eval_shape(lambda a: fn(*a), args)
+
     @jax.jit
     def run(args):
         def body(c, _):
-            out = fn(*args)
-            leaves = jax.tree.leaves(out)
-            return c + leaves[0].ravel()[0].astype(jnp.float32), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
+            scalar = jax.tree.leaves(c)[0].ravel()[0].astype(jnp.float32)
+            eps = jnp.tanh(scalar) * jnp.float32(1e-30)
+            leaves, td = jax.tree.flatten(args)
+            new, done = [], False
+            for leaf in leaves:
+                if not done and jnp.issubdtype(
+                        jnp.result_type(leaf), jnp.floating):
+                    new.append(leaf + eps.astype(leaf.dtype))
+                    done = True
+                else:
+                    new.append(leaf)
+            return fn(*jax.tree.unflatten(td, new)), None
+        init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                            out_shapes)
+        return jax.lax.scan(body, init, None, length=K)[0]
 
-    _ = float(run(args))                     # compile + fence
+    def fence(out):
+        # host transfer of one element; per-device program ordering means
+        # the whole last program (all carried leaves) has completed
+        return float(jax.tree.leaves(out)[0].ravel()[0])
+
+    _ = fence(run(args))                     # compile + fence
     t0 = time.time()
     for _ in range(iters):
         out = run(args)
-    _ = float(out)                           # host transfer = fence
+    _ = fence(out)
     return (time.time() - t0) / (iters * K)
+
+
+def timed_state_scan(step, state, batch, K=10, iters=3):
+    """Time a ``(state, batch) -> (state, metrics)`` train step by
+    threading the STATE through a K-step scan: the gradient/optimizer
+    update is live (it feeds the next iteration — no DCE of the backward
+    pass), and the batch is perturbed from the carried params so no
+    iteration is loop-invariant. Returns seconds/step."""
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            p0 = jax.tree.leaves(s.params)[0].ravel()[0]
+            b = dict(batch,
+                     input=batch["input"] + p0.astype(
+                         batch["input"].dtype) * 1e-30)
+            s2, m = step(s, b)
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, None, length=K)[1]
+
+    _ = float(run(state)[-1])                # compile + fence
+    t0 = time.time()
+    for _ in range(iters):
+        losses = run(state)
+    _ = float(losses[-1])                    # last loss depends on every
+    return (time.time() - t0) / (iters * K)  # step's updated state
 
 
 # --------------------------------------------------------------- conv1x1
@@ -194,8 +249,7 @@ def bench_step():
     cost = lowered.compile().cost_analysis()
     flops = cost.get("flops", 0.0)
     bytes_ = cost.get("bytes accessed", 0.0)
-    t_step = timed_scan(lambda s, b: step(s, b)[1]["loss"][None],
-                        (state, batch), K=10, iters=3)
+    t_step = timed_state_scan(step, state, batch, K=10, iters=3)
     print(f"full step: {t_step * 1e3:.1f} ms = {bs / t_step:.0f} img/s")
     print(f"XLA cost: {flops / 1e12:.2f} TFLOP, {bytes_ / 1e9:.1f} GB "
           f"accessed per step")
@@ -207,15 +261,15 @@ def bench_step():
     # piecewise: forward eval-BN vs train-BN, loss fwd vs fwd+bwd
     imgs = normalize_images(batch["input"])
 
+    # full outputs returned (timed_scan carries them): nothing is DCE-able
     def fwd_eval(p):
         return model.apply({"params": p, "batch_stats": state.batch_stats},
-                           imgs, train=False).mean()[None]
+                           imgs, train=False)
 
     def fwd_train(p):
-        out, _ = model.apply(
+        return model.apply(
             {"params": p, "batch_stats": state.batch_stats}, imgs,
             train=True, mutable=["batch_stats"])
-        return out.mean()[None]
 
     t_fe = timed_scan(fwd_eval, (state.params,))
     t_ft = timed_scan(fwd_train, (state.params,))
@@ -229,12 +283,15 @@ def bench_step():
     tw = jax.device_put(np.ones((bs, J, 3), np.float32))
 
     def loss_fwd(v):
+        # scalar loss: the whole forward is live through it
         return integral_l1_loss(softmax_integral(v, J, D), tgt, tw)[None]
 
     def loss_bwd(v):
+        # FULL gradient returned — a [:1] slice would let XLA drop most
+        # of the backward (round-3 review)
         return jax.grad(
             lambda vv: integral_l1_loss(
-                softmax_integral(vv, J, D), tgt, tw))(v).ravel()[:1]
+                softmax_integral(vv, J, D), tgt, tw))(v)
 
     print(f"soft-argmax+L1 fwd: {timed_scan(loss_fwd, (vol,)) * 1e3:.1f} ms"
           f" | fwd+bwd: {timed_scan(loss_bwd, (vol,)) * 1e3:.1f} ms")
