@@ -16,7 +16,11 @@ from epipolarpose_tpu.core.train_state import (  # noqa: F401
     make_lr_schedule,
     make_optimizer,
 )
-from epipolarpose_tpu.core.checkpoint import CheckpointManager  # noqa: F401
+from epipolarpose_tpu.core.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    load_variables,
+    resolve_checkpoint_path,
+)
 from epipolarpose_tpu.core.logger import (  # noqa: F401
     create_logger,
     create_metric_writer,

@@ -23,6 +23,63 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolve a user-facing checkpoint path to an orbax payload dir.
+
+    Accepts any of (mirroring the reference's single ``.pth.tar`` file
+    argument, which has no sub-structure to navigate):
+
+    - a payload dir itself (``.../final_state`` or ``.../<step>/default``)
+    - a step dir (``.../checkpoints/<step>``) -> its ``default`` item
+    - a manager root (``.../checkpoints`` or ``.../checkpoints/best``)
+      -> the latest step under it
+    - the virtual names ``.../checkpoints/latest`` (the root's newest
+      step) for symmetry with ``best``
+    """
+    p = os.path.abspath(path)
+    if os.path.basename(p) == "latest" and not os.path.isdir(p):
+        p = os.path.dirname(p)
+    if os.path.isfile(os.path.join(p, "_METADATA")):
+        return p                          # payload dir
+    d = os.path.join(p, "default")
+    if os.path.isfile(os.path.join(d, "_METADATA")):
+        return d                          # step dir
+    steps = [int(n) for n in os.listdir(p) if n.isdigit()] \
+        if os.path.isdir(p) else []
+    if steps:                             # manager root -> newest step
+        return resolve_checkpoint_path(os.path.join(p, str(max(steps))))
+    raise FileNotFoundError(f"no orbax checkpoint under {path!r}")
+
+
+def load_variables(path: str, template: dict) -> dict:
+    """Load model variables from ANY checkpoint layout this repo writes.
+
+    ``template`` is a pytree like ``{'params': ..., 'batch_stats': ...}``;
+    only its top-level keys are read from the (possibly larger
+    latest/best training payload, which also carries opt_state/step/
+    epoch/perf), and leaves are cast to the template's dtypes.
+    """
+    resolved = resolve_checkpoint_path(path)
+    ckptr = ocp.StandardCheckpointer()
+    full = ckptr.restore(resolved)        # untyped: tolerates extra keys
+    missing = [k for k in template if k not in full]
+    if missing:
+        raise KeyError(f"checkpoint {resolved} lacks {missing}; "
+                       f"has {sorted(full)}")
+    out = {}
+    for key, sub in template.items():
+        a, ta = jax.tree_util.tree_flatten(full[key])
+        b, tb = jax.tree_util.tree_flatten(sub)
+        if ta != tb:
+            raise ValueError(
+                f"checkpoint {resolved} '{key}' tree differs from the "
+                f"model's: {ta} vs {tb}")
+        out[key] = jax.tree_util.tree_unflatten(
+            tb, [np.asarray(x, dtype=np.asarray(t).dtype)
+                 for x, t in zip(a, b)])
+    return out
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3,
                  best_mode: str = "max"):

@@ -254,16 +254,14 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
 
 def load_refiner(cfg, checkpoint_path: str):
     """Load a trained refinement unit -> callable for make_ss_train_step."""
-    import orbax.checkpoint as ocp
+    from epipolarpose_tpu.core.checkpoint import load_variables
     from epipolarpose_tpu.core.refine import create_refiner_state, \
         make_refiner_apply
     model, state = create_refiner_state(int(cfg.MODEL.NUM_JOINTS),
                                         jax.random.PRNGKey(0))
-    ckptr = ocp.StandardCheckpointer()
-    import os
-    restored = ckptr.restore(os.path.abspath(checkpoint_path),
-                             {"params": state.params,
-                              "batch_stats": state.batch_stats})
+    restored = load_variables(checkpoint_path,
+                              {"params": state.params,
+                               "batch_stats": state.batch_stats})
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"])
     apply = make_refiner_apply(model)

@@ -14,7 +14,9 @@ from epipolarpose_tpu.models.pose_resnet import (  # noqa: F401
 from epipolarpose_tpu.models.refiner import PoseRefiner  # noqa: F401
 from epipolarpose_tpu.models.torch_convert import (  # noqa: F401
     convert_state_dict,
+    export_state_dict,
     load_torch_checkpoint,
+    save_torch_checkpoint,
 )
 
 _REGISTRY = {

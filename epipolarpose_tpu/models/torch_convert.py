@@ -1,4 +1,4 @@
-"""One-way converter: reference PyTorch checkpoints -> Flax variables.
+"""Two-way converter: reference PyTorch checkpoints <-> Flax variables.
 
 SURVEY.md §5 calls for a ``.pth.tar -> flax`` converter so released
 simple-baselines / EpipolarPose checkpoints can be loaded for MPJPE-parity
@@ -130,3 +130,91 @@ def load_torch_checkpoint(path: str, num_layers: int):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return convert_state_dict(sd, num_layers)
+
+
+def _inv_conv_kernel(w) -> np.ndarray:
+    """flax HWIO -> torch conv OIHW."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def _inv_deconv_kernel(w) -> np.ndarray:
+    """flax ConvTranspose HWIO (flipped) -> torch ConvTranspose IOHW."""
+    w = np.asarray(w)[::-1, ::-1]           # undo the spatial flip
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))  # IOHW
+
+
+def export_state_dict(variables) -> dict:
+    """Flax ``{'params':…,'batch_stats':…}`` -> reference torch state_dict.
+
+    Exact inverse of :func:`convert_state_dict`: weights trained with this
+    framework load into the reference's PyTorch ``PoseResNet`` with
+    ``strict=True`` (``num_batches_tracked`` entries are emitted as 0, as
+    ``torch.save``-fresh reference checkpoints carry them). Values are
+    float32 numpy arrays keyed by reference names (module prefix omitted,
+    like the reference's released single-GPU checkpoints).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: dict = {}
+
+    def bn(src_p, src_s, dst_prefix):
+        out[f"{dst_prefix}.weight"] = np.asarray(src_p["scale"], np.float32)
+        out[f"{dst_prefix}.bias"] = np.asarray(src_p["bias"], np.float32)
+        s = src_s if src_s is not None else {}
+        n = np.asarray(src_p["scale"]).shape[0]
+        out[f"{dst_prefix}.running_mean"] = np.asarray(
+            s.get("mean", np.zeros(n)), np.float32)
+        out[f"{dst_prefix}.running_var"] = np.asarray(
+            s.get("var", np.ones(n)), np.float32)
+        out[f"{dst_prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    blk_re = re.compile(r"^layer(\d+)_(\d+)$")
+    dec_re = re.compile(r"^deconv(\d+)$")
+    for name, node in params.items():
+        if name == "conv1":
+            out["conv1.weight"] = _inv_conv_kernel(node["kernel"])
+        elif name == "bn1":
+            bn(node, stats.get("bn1"), "bn1")
+        elif name == "final_layer":
+            out["final_layer.weight"] = _inv_conv_kernel(node["kernel"])
+            out["final_layer.bias"] = np.asarray(node["bias"], np.float32)
+        elif blk_re.match(name):
+            li, bi = blk_re.match(name).groups()
+            blk_stats = stats.get(name, {})
+            for sub, val in node.items():
+                cm = re.match(r"^Conv_(\d+)$", sub)
+                bm = re.match(r"^bn(\d+)$", sub)
+                if cm:
+                    out[f"layer{li}.{bi}.conv{int(cm.group(1)) + 1}"
+                        f".weight"] = _inv_conv_kernel(val["kernel"])
+                elif bm:
+                    bn(val, blk_stats.get(sub),
+                       f"layer{li}.{bi}.bn{bm.group(1)}")
+                elif sub == "downsample_conv":
+                    out[f"layer{li}.{bi}.downsample.0.weight"] = \
+                        _inv_conv_kernel(val["kernel"])
+                elif sub == "downsample_bn":
+                    bn(val, blk_stats.get(sub),
+                       f"layer{li}.{bi}.downsample.1")
+        elif dec_re.match(name):
+            stage = int(dec_re.match(name).group(1)) - 1
+            out[f"deconv_layers.{3 * stage}.weight"] = \
+                _inv_deconv_kernel(node["kernel"])
+            if "bias" in node:              # DECONV_WITH_BIAS: true
+                out[f"deconv_layers.{3 * stage}.bias"] = np.asarray(
+                    node["bias"], np.float32)
+        elif name.startswith("deconv_bn"):
+            stage = int(name[len("deconv_bn"):]) - 1
+            bn(node, stats.get(name), f"deconv_layers.{3 * stage + 1}")
+
+    return out
+
+
+def save_torch_checkpoint(path: str, variables) -> None:
+    """Write Flax variables as a reference-format ``.pth.tar`` file."""
+    import torch
+    # copy=True: flax arrays surface as non-writable numpy views, which
+    # torch.from_numpy rejects with a UB warning
+    sd = {k: torch.from_numpy(np.array(v, copy=True)) if np.ndim(v)
+          else torch.tensor(v) for k, v in export_state_dict(variables).items()}
+    torch.save({"state_dict": sd}, path)

@@ -62,11 +62,9 @@ def main():
             from epipolarpose_tpu.models import load_torch_checkpoint
             v = load_torch_checkpoint(mf, int(config.MODEL.EXTRA.NUM_LAYERS))
         else:
-            import orbax.checkpoint as ocp
-            v = ocp.StandardCheckpointer().restore(
-                os.path.abspath(mf),      # orbax requires absolute paths
-                {"params": state.params,
-                 "batch_stats": state.batch_stats})
+            from epipolarpose_tpu.core import load_variables
+            v = load_variables(mf, {"params": state.params,
+                                    "batch_stats": state.batch_stats})
         state = state.replace(params=v["params"],
                               batch_stats=v["batch_stats"])
         print(f"loaded {mf}")

@@ -56,12 +56,9 @@ def main():
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
         else:
-            import orbax.checkpoint as ocp
-            ckptr = ocp.StandardCheckpointer()
-            # orbax requires absolute paths
-            restored = ckptr.restore(os.path.abspath(mf),
-                                     {"params": state.params,
-                                      "batch_stats": state.batch_stats})
+            from epipolarpose_tpu.core import load_variables
+            restored = load_variables(mf, {"params": state.params,
+                                           "batch_stats": state.batch_stats})
             state = state.replace(params=restored["params"],
                                   batch_stats=restored["batch_stats"])
         logger.info(f"loaded {mf}")

@@ -111,3 +111,40 @@ def test_best_perf_recovered_from_payload_on_resume(tmp_path):
     assert not reopened._improved(60.0)
     assert reopened._improved(40.0)
     reopened.close()
+
+
+def test_resolve_and_load_variables_all_layouts(tmp_path):
+    """load_variables accepts every checkpoint layout the trainer writes:
+    manager root, best/ root, step dir, payload dir, final_state, and the
+    virtual 'latest' name — mirroring the reference's one-file
+    TEST.MODEL_FILE ergonomics."""
+    from epipolarpose_tpu.core import load_variables, resolve_checkpoint_path
+
+    state = _tiny_state()
+    root = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(root, best_mode="min")
+    mngr.save(1, state, epoch=0, perf=9.0, wait=True)
+    bumped = state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params))
+    mngr.save(2, bumped, epoch=1, perf=7.0, wait=True)
+    final = mngr.save_final(bumped)
+    mngr.close()
+
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    ref = np.asarray(jax.tree_util.tree_leaves(bumped.params)[0])
+    import os
+    for path in (root,                                  # manager root
+                 os.path.join(root, "latest"),          # virtual name
+                 os.path.join(root, "best"),            # best manager root
+                 os.path.join(root, "2"),               # step dir
+                 os.path.join(root, "2", "default"),    # payload dir
+                 final):                                # final_state
+        got = load_variables(path, template)
+        assert set(got) == {"params", "batch_stats"}, path
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(got["params"])[0]), ref,
+            err_msg=path)
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(str(tmp_path / "nonexistent"))

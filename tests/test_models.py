@@ -174,3 +174,75 @@ def test_fast_deconv_matches_convtranspose(rng):
     a = slow.apply({"params": params, "batch_stats": stats}, x)
     b = fast.apply({"params": params, "batch_stats": stats}, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_export_state_dict_roundtrip(rng):
+    """export_state_dict is the exact inverse of convert_state_dict."""
+    from epipolarpose_tpu.models import export_state_dict
+
+    model = PoseResNet(num_layers=18, num_joints=4, dtype=jnp.float32,
+                       num_deconv_filters=(16, 16, 16))
+    params, stats = init_pose_net(model, jax.random.PRNGKey(1), (64, 64))
+    # non-trivial batch_stats: one train-mode step moves the running stats
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    _, mutated = model.apply({"params": params, "batch_stats": stats}, x,
+                             train=True, mutable=["batch_stats"])
+    variables = {"params": params, "batch_stats": mutated["batch_stats"]}
+
+    back = convert_state_dict(export_state_dict(variables), num_layers=18)
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+
+def test_exported_weights_load_into_torch_oracle(rng):
+    """Weights trained here load into the reference PyTorch model with
+    strict=True and reproduce this framework's forward."""
+    import torch
+    from epipolarpose_tpu.models import export_state_dict
+
+    J = 4
+    model = PoseResNet(num_layers=18, num_joints=J, dtype=jnp.float32)
+    params, stats = init_pose_net(model, jax.random.PRNGKey(2), (64, 64))
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    _, mutated = model.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x), train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": params, "batch_stats": mutated["batch_stats"]}
+    ours = np.asarray(model.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False))
+
+    sd = {k: (torch.from_numpy(np.ascontiguousarray(v)) if np.ndim(v)
+              else torch.tensor(v))
+          for k, v in export_state_dict(variables).items()}
+    net = _torch_pose_resnet18(J)
+    net.load_state_dict(sd, strict=True)     # raises on any key mismatch
+    net.eval()
+    with torch.no_grad():
+        oracle = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    oracle = oracle.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, oracle, atol=2e-3, rtol=1e-3)
+
+
+def test_save_torch_checkpoint_file_roundtrip(tmp_path):
+    """save_torch_checkpoint writes a .pth.tar the import path reads back."""
+    from epipolarpose_tpu.models import (load_torch_checkpoint,
+                                         save_torch_checkpoint)
+
+    model = PoseResNet(num_layers=18, num_joints=2, dtype=jnp.float32,
+                       num_deconv_filters=(8, 8, 8))
+    params, stats = init_pose_net(model, jax.random.PRNGKey(3), (32, 32))
+    variables = {"params": params, "batch_stats": stats}
+    path = str(tmp_path / "exported.pth.tar")
+    save_torch_checkpoint(path, variables)
+    back = load_torch_checkpoint(path, num_layers=18)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(variables)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))

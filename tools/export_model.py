@@ -89,9 +89,9 @@ def main():
         if mf.endswith((".pth", ".pth.tar")):
             v = load_torch_checkpoint(mf, int(config.MODEL.EXTRA.NUM_LAYERS))
         else:
-            import orbax.checkpoint as ocp
-            v = ocp.StandardCheckpointer().restore(
-                mf, {"params": params, "batch_stats": stats})
+            from epipolarpose_tpu.core import load_variables
+            v = load_variables(mf, {"params": params,
+                                    "batch_stats": stats})
         params, stats = v["params"], v["batch_stats"]
 
     exported = export_model(config, (params, stats), args.batch_size)
