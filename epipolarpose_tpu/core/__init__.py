@@ -18,6 +18,7 @@ from epipolarpose_tpu.core.train_state import (  # noqa: F401
 )
 from epipolarpose_tpu.core.checkpoint import (  # noqa: F401
     CheckpointManager,
+    load_model_variables,
     load_variables,
     resolve_checkpoint_path,
 )

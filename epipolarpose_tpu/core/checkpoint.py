@@ -74,10 +74,27 @@ def load_variables(path: str, template: dict) -> dict:
             raise ValueError(
                 f"checkpoint {resolved} '{key}' tree differs from the "
                 f"model's: {ta} vs {tb}")
+        # read dtypes WITHOUT np.asarray(template): the template is often
+        # the live device-resident model (state.params) and materializing
+        # it to host copies ~hundreds of MB over a high-RTT link per load
         out[key] = jax.tree_util.tree_unflatten(
-            tb, [np.asarray(x, dtype=np.asarray(t).dtype)
+            tb, [np.asarray(x, dtype=getattr(t, "dtype", None)
+                            or np.asarray(t).dtype)
                  for x, t in zip(a, b)])
     return out
+
+
+def load_model_variables(path: str, template: dict,
+                         num_layers: int) -> dict:
+    """Load ``{'params', 'batch_stats'}`` from EITHER checkpoint format
+    this repo reads: a reference-format torch ``.pth``/``.pth.tar`` file
+    (reference TEST.MODEL_FILE semantics) or any orbax layout accepted by
+    :func:`resolve_checkpoint_path`. The single call site for the suffix
+    dispatch previously copy-pasted into every CLI."""
+    if str(path).endswith((".pth", ".pth.tar")):
+        from epipolarpose_tpu.models import load_torch_checkpoint
+        return load_torch_checkpoint(str(path), num_layers)
+    return load_variables(str(path), template)
 
 
 class CheckpointManager:

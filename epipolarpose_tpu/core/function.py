@@ -58,10 +58,14 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
             n = int(batch["input"].shape[0])
         if i % int(cfg.PRINT_FREQ) == 0:
             if cfg.DEBUG.DEBUG and output_dir is not None \
-                    and batch["input"].ndim == 4:
+                    and batch["input"].ndim in (4, 5):
                 from epipolarpose_tpu.utils.vis import save_debug_images
+                # fused super-batch (K, bs, H, W, C): dump the first
+                # scanned step so DEBUG keeps working under FUSED_STEPS>1
+                sl = (lambda v: np.asarray(v[0])) \
+                    if batch["input"].ndim == 5 else np.asarray
                 save_debug_images(
-                    cfg, {k: np.asarray(v) for k, v in batch.items()
+                    cfg, {k: sl(v) for k, v in batch.items()
                           if k in ("input", "joints", "joints_vis")},
                     None, None, None,
                     f"{output_dir}/train_{epoch}_{i}")

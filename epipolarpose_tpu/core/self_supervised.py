@@ -77,14 +77,18 @@ def load_teacher(cfg, fallback_state=None) -> Teacher:
         dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
         else jnp.float32)
     pretrained = str(cfg.MODEL.PRETRAINED)
-    if pretrained:
-        from epipolarpose_tpu.models import load_torch_checkpoint
-        variables = load_torch_checkpoint(pretrained,
-                                          int(extra.NUM_LAYERS))
-        return Teacher(model, variables["params"],
-                       variables["batch_stats"])
     params, stats = init_pose_net(model, jax.random.PRNGKey(1),
                                   tuple(cfg.MODEL.IMAGE_SIZE))
+    if pretrained:
+        # accepts BOTH formats, like every other checkpoint entry point:
+        # a torch .pth(.tar) OR an orbax dir (e.g. the best/ checkpoint of
+        # a fully-supervised 2D run trained with this repo)
+        from epipolarpose_tpu.core.checkpoint import load_model_variables
+        variables = load_model_variables(
+            pretrained, {"params": params, "batch_stats": stats},
+            int(extra.NUM_LAYERS))
+        return Teacher(model, variables["params"],
+                       variables["batch_stats"])
     return Teacher(model, params, stats)
 
 

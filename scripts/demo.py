@@ -58,13 +58,10 @@ def main():
 
     mf = config.TEST.MODEL_FILE
     if mf:
-        if mf.endswith((".pth", ".pth.tar")):
-            from epipolarpose_tpu.models import load_torch_checkpoint
-            v = load_torch_checkpoint(mf, int(config.MODEL.EXTRA.NUM_LAYERS))
-        else:
-            from epipolarpose_tpu.core import load_variables
-            v = load_variables(mf, {"params": state.params,
-                                    "batch_stats": state.batch_stats})
+        from epipolarpose_tpu.core import load_model_variables
+        v = load_model_variables(
+            mf, {"params": state.params, "batch_stats": state.batch_stats},
+            int(config.MODEL.EXTRA.NUM_LAYERS))
         state = state.replace(params=v["params"],
                               batch_stats=v["batch_stats"])
         print(f"loaded {mf}")

@@ -40,7 +40,7 @@ def main():
     from epipolarpose_tpu.core import (
         create_logger, create_train_state, make_eval_step, validate)
     from epipolarpose_tpu.data import get_dataset, epoch_loader
-    from epipolarpose_tpu.models import get_model, load_torch_checkpoint
+    from epipolarpose_tpu.models import get_model
     from epipolarpose_tpu.parallel import make_mesh
 
     logger, output_dir, _ = create_logger(config, args.cfg, "valid")
@@ -50,17 +50,12 @@ def main():
 
     mf = config.TEST.MODEL_FILE
     if mf:
-        if mf.endswith((".pth", ".pth.tar")):
-            variables = load_torch_checkpoint(
-                mf, int(config.MODEL.EXTRA.NUM_LAYERS))
-            state = state.replace(params=variables["params"],
-                                  batch_stats=variables["batch_stats"])
-        else:
-            from epipolarpose_tpu.core import load_variables
-            restored = load_variables(mf, {"params": state.params,
-                                           "batch_stats": state.batch_stats})
-            state = state.replace(params=restored["params"],
-                                  batch_stats=restored["batch_stats"])
+        from epipolarpose_tpu.core import load_model_variables
+        v = load_model_variables(
+            mf, {"params": state.params, "batch_stats": state.batch_stats},
+            int(config.MODEL.EXTRA.NUM_LAYERS))
+        state = state.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
         logger.info(f"loaded {mf}")
 
     ds_kwargs = {"num_samples": args.samples} \

@@ -323,3 +323,29 @@ def test_ss_loss_identical_1_vs_8_devices():
     l1, l8 = float(m1["loss"]), float(m8["loss"])
     assert l1 > 0.0
     np.testing.assert_allclose(l8, l1, rtol=2e-5)
+
+
+def test_load_teacher_accepts_orbax_checkpoint(tmp_path):
+    """MODEL.PRETRAINED may point at an orbax checkpoint dir (the natural
+    output of a fully-supervised 2D run with THIS repo), not only a
+    reference-format .pth.tar — load_teacher must route through the same
+    two-format resolution as every other checkpoint entry point."""
+    import orbax.checkpoint as ocp
+
+    cfg = _ss_cfg()
+    cfg.MODEL.PRETRAINED = ""
+    base = load_teacher(cfg)                       # deterministic init
+    bumped = jax.tree.map(lambda x: x + 1.0, base.params)
+    path = tmp_path / "teacher_ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": bumped, "batch_stats": base.batch_stats})
+    ckptr.wait_until_finished()
+
+    cfg.MODEL.PRETRAINED = str(path)
+    try:
+        loaded = load_teacher(cfg)
+    finally:
+        cfg.MODEL.PRETRAINED = ""
+    got = np.asarray(jax.tree_util.tree_leaves(loaded.params)[0])
+    want = np.asarray(jax.tree_util.tree_leaves(bumped)[0])
+    np.testing.assert_array_equal(got, want)

@@ -79,19 +79,17 @@ def main():
 
     import jax
     from epipolarpose_tpu.core import create_train_state
-    from epipolarpose_tpu.models import get_model, load_torch_checkpoint
+    from epipolarpose_tpu.models import get_model
 
     model = get_model(config, is_train=False)
     st = create_train_state(config, model, jax.random.PRNGKey(0), 1)
     params, stats = st.params, st.batch_stats
     mf = args.model_file or config.TEST.MODEL_FILE
     if mf:
-        if mf.endswith((".pth", ".pth.tar")):
-            v = load_torch_checkpoint(mf, int(config.MODEL.EXTRA.NUM_LAYERS))
-        else:
-            from epipolarpose_tpu.core import load_variables
-            v = load_variables(mf, {"params": params,
-                                    "batch_stats": stats})
+        from epipolarpose_tpu.core import load_model_variables
+        v = load_model_variables(mf, {"params": params,
+                                      "batch_stats": stats},
+                                 int(config.MODEL.EXTRA.NUM_LAYERS))
         params, stats = v["params"], v["batch_stats"]
 
     exported = export_model(config, (params, stats), args.batch_size)
