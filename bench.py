@@ -146,9 +146,11 @@ def bench_triangulation(extras):
             return res.mean(), X.mean()
         return jax.lax.scan(body, jnp.float32(0), None, length=K)
 
-    # fence with a host transfer of the result; jax.block_until_ready
-    # would be an equally correct fence — float() is kept because it also
-    # validates the value is finite-ish and costs the same
+    # fence with a host transfer of the result — NOT block_until_ready,
+    # which can return early through the tunneled axon device when a
+    # dispatch backlog is pending (measured; see _dispatch_latency).
+    # Fencing only the LAST iter is sound: per-device program order means
+    # its value materializing implies the earlier iters executed.
     _ = float(run(det_d)[0])
     iters = 3
     t0 = time.time()
@@ -283,46 +285,105 @@ def _loader_path(ds) -> str:
     return str(getattr(ds.cfg.TPU, "NATIVE_LOADER", "?"))
 
 
-def _loader_attribution(ds, bs: int) -> dict:
+def _loader_attribution(ds, make_iter, count) -> dict:
     """Measure the host pipeline stages separately so the e2e number is
     attributable (VERDICT r2 weak #1: the aggregate swung 42-184 img/s on
-    identical code with no way to see which stage moved)."""
+    identical code with no way to see which stage moved).
+
+    ``make_iter(seed, shuffle)`` yields host batches; ``count(b)`` is
+    images per batch (the dual-crop SS loader counts student crops).
+    Shared by both input-fed benches so the measurement protocol cannot
+    silently diverge between them."""
     import jax
 
     # 0) run the one-shot path calibration OUTSIDE the timed region — its
     #    3+3 full-batch probe decodes would otherwise deflate the loader
-    #    rate (and push pipeline_efficiency past 1.0, since the e2e epoch
-    #    below is measured after a warm epoch)
-    next(iter(ds.batches(bs, seed=1, shuffle=False, drop_last=True)), None)
+    #    rate (and push pipeline_efficiency past 1.0, since the e2e rate
+    #    below is measured on a warm pipeline)
+    next(iter(make_iter(1, False)), None)
 
     # 1) loader-only rate (decode+warp on host, no device involved)
-    batches = []
     t0 = time.time()
-    for b in ds.batches(bs, seed=1, shuffle=True, drop_last=True):
-        batches.append(b)
+    batches = list(make_iter(1, True))
     loader_dt = time.time() - t0
-    n_imgs = sum(b["input"].shape[0] for b in batches)
+    n_imgs = sum(count(b) for b in batches)
 
-    # 2) host->device transfer bandwidth for one batch (median of 3)
+    # 2) host->device transfer bandwidth for one batch (median of 3).
+    #    Fence with a DEPENDENT host read — block_until_ready can return
+    #    early through the tunneled device (see _dispatch_latency) — and
+    #    subtract the link round-trip so the read's own RTT doesn't
+    #    deflate the bandwidth estimate.
+    tiny = np.zeros((1,), np.float32)
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        _ = np.asarray(jax.device_put(tiny))[0]
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+
     sample = batches[0]
     nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(sample))
     reps = []
     for _ in range(3):
         t0 = time.time()
         dev = jax.device_put(sample)
-        jax.block_until_ready(dev)
+        _ = np.asarray(jax.tree.leaves(dev)[0].ravel()[0])
         reps.append(time.time() - t0)
-    h2d_s = float(np.median(reps))
+    h2d_s = max(float(np.median(reps)) - rtt, 1e-9)
 
     calib = getattr(ds, "calibration", None)
     return {
         "loader_images_per_sec": round(n_imgs / loader_dt, 1),
         "h2d_MB_per_sec": round(nbytes / 1e6 / h2d_s, 1),
-        "h2d_images_per_sec": round(sample["input"].shape[0] / h2d_s, 1),
+        "h2d_images_per_sec": round(count(sample) / h2d_s, 1),
+        "link_rtt_ms": round(rtt * 1e3, 1),
         "loader_path": _loader_path(ds),
         **({"loader_calibration_advantage":
             round(calib["native_advantage"], 3)} if calib else {}),
     }
+
+
+def _steady_state_rate(pipe, fused, state, imgs_per_step: int):
+    """Warm on the FIRST super-batch, then time the remainder through the
+    SAME live prefetch pipeline. A per-epoch build/fill/drain shape with a
+    1-super epoch runs decode -> h2d -> step strictly serially and cannot
+    observe the two-stage overlap; chaining passes through one pipeline
+    measures the steady state that real (many-super) epochs run in.
+    ``fused`` must already be compiled, else queues fill during the
+    multi-second compile and overstate the overlap."""
+    state, m = fused(state, next(pipe))
+    _ = float(np.asarray(m["loss"]).ravel()[-1])     # fence the warmup
+    t0 = time.time()
+    seen = 0
+    for batch in pipe:
+        state, m = fused(state, batch)
+        seen += imgs_per_step * int(batch["input"].shape[0])
+    # host-transfer fence (equivalent to block_until_ready in steady
+    # state, robust to the rare tunnel stall — PROFILE_r2)
+    _ = float(np.asarray(m["loss"]).ravel()[-1])
+    return seen / (time.time() - t0), seen
+
+
+def _emit_e2e(extras, metric: str, unit: str, rate: float, seen: int,
+              K: int, stage_rates: dict, attribution: dict):
+    """Shared emission: the three overlapped stages each have a measured
+    ceiling; with full overlap the e2e rate can at best hit the SLOWEST
+    one. pipeline_efficiency = e2e / that ceiling — the number that judges
+    the FRAMEWORK independently of which stage this particular host
+    bottlenecks (1-core decode, tunneled h2d, ...)."""
+    import multiprocessing
+    bottleneck = min(stage_rates, key=stage_rates.get)
+    _log_extra({
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": unit,
+        "fused_steps": K,
+        "images_timed": seen,
+        "host_cores": multiprocessing.cpu_count(),
+        "pipeline_efficiency": round(rate / stage_rates[bottleneck], 2),
+        "bottleneck_stage": bottleneck,
+        **attribution,
+    }, extras)
 
 
 def _dispatch_latency(step, fused_step, state, dev_batch, dev_super,
@@ -331,20 +392,28 @@ def _dispatch_latency(step, fused_step, state, dev_batch, dev_super,
 
     The difference between (one host-fed dispatch per step, fenced) and
     (K steps per dispatch, fenced once) is the per-step dispatch tax the
-    fused driver amortizes."""
-    import jax
+    fused driver amortizes.
+
+    Fencing MUST be a host materialization here, not block_until_ready:
+    through the tunneled axon PJRT device, block_until_ready on an output
+    with an unfenced dispatch backlog returns early (measured: it
+    "completed" a 47 ms/step fused r50 dispatch in 0.4 ms, 134k img/s —
+    8x over the chip's peak-FLOPs bound — while the float() that followed
+    waited 4.4 s for the same value; after one materialization it fences
+    correctly again). The float() adds one ~tunnel-RTT per dispatch,
+    which is part of the synchronous host-loop cost being measured."""
 
     def timed(fn, state, batch, iters):
-        out = fn(state, batch)                       # warm/compile
-        jax.block_until_ready(out)
+        st, m = fn(state, batch)                     # warm/compile
+        _ = float(np.asarray(m["loss"]).ravel()[-1])
         t0 = time.time()
         for _ in range(iters):
             st, m = fn(state, batch)
-            jax.block_until_ready(m["loss"])         # fence EVERY dispatch
-        return (time.time() - t0) / iters
+            _ = float(np.asarray(m["loss"]).ravel()[-1])   # fence EVERY
+        return (time.time() - t0) / iters                  # dispatch
 
     t_single = timed(step, state, dev_batch, iters=max(K, 4))
-    t_fused = timed(fused_step, state, dev_super, iters=2)
+    t_fused = timed(fused_step, state, dev_super, iters=3)
     bs = int(dev_batch["input"].shape[0])
     return {
         "dispatch_ms_single_step": round(t_single * 1e3, 1),
@@ -361,27 +430,36 @@ def bench_e2e_input_fed(extras):
     host<->device link the per-step dispatch used to dominate (~0.6 s/step
     through the axon tunnel); the fused scan pays it once per K steps.
     Emits stage attribution (loader rate, h2d bandwidth, dispatch
-    latency, chosen loader path) alongside the aggregate."""
-    import multiprocessing
+    latency, chosen loader path) alongside the aggregate. The timed
+    region chains R passes through ONE live pipeline (the same stages
+    epoch_loader wires: stack_batches -> host_prefetch ->
+    device_prefetch) so it measures steady-state overlap, not the fill/
+    drain of a 1-super epoch."""
     import tempfile
     import jax
     from epipolarpose_tpu.config import load_config
     from epipolarpose_tpu.core import create_train_state, make_train_step
-    from epipolarpose_tpu.data import (MPIIDataset, epoch_loader,
-                                       write_synthetic_mpii)
-    from epipolarpose_tpu.data.pipeline import stack_batches
+    from epipolarpose_tpu.data import MPIIDataset, write_synthetic_mpii
+    from epipolarpose_tpu.data.pipeline import (device_prefetch,
+                                                host_prefetch,
+                                                stack_batches)
     from epipolarpose_tpu.models import get_model
 
     cfg = load_config(ROOT / "experiments" / "mpii"
                       / "train_r50_256x256_d256x3_adam_lr1e-3.yaml")
-    n, bs, K = 512, 64, 8
+    n, bs, K, R = 512, 64, 8, 8         # R passes x 1 super each
     with tempfile.TemporaryDirectory() as td:
         write_synthetic_mpii(td, cfg, num_samples=n)
         ds = MPIIDataset(cfg, td, "train", is_train=True)
         model = get_model(cfg)
         state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                    steps_per_epoch=n // bs)
-        attribution = _loader_attribution(ds, bs)
+        attribution = _loader_attribution(
+            ds,
+            lambda seed, shuffle: ds.batches(bs, seed=seed,
+                                             shuffle=shuffle,
+                                             drop_last=True),
+            lambda b: b["input"].shape[0])
 
         step = make_train_step(cfg, model, donate=False)
         fused = make_train_step(cfg, model, donate=False, fused_steps=K)
@@ -390,43 +468,26 @@ def bench_e2e_input_fed(extras):
         dev_batch = jax.device_put(host_batches[0])
         dev_super = jax.device_put(
             next(stack_batches(iter(host_batches), K)))
+        # compiles both steps, so _steady_state_rate's warmup is cheap
         attribution.update(
             _dispatch_latency(step, fused, state, dev_batch, dev_super, K))
 
-        for epoch in range(2):          # epoch 0 warms compile + calib
-            t0 = time.time()
-            seen = 0
-            m = None
-            for batch in epoch_loader(ds, bs, epoch, prefetch=2,
-                                      fused_steps=K):
-                state, m = fused(state, batch)
-                seen += int(batch["input"].shape[0]) * bs
-            # host-transfer fence (equivalent to block_until_ready in
-            # steady state, robust to the rare tunnel stall — PROFILE_r2)
-            _ = float(np.asarray(m["loss"]).ravel()[-1])
-            dt = time.time() - t0
-        # the three overlapped stages each have a measured ceiling; with
-        # full overlap the e2e rate can at best hit the SLOWEST one.
-        # pipeline_efficiency = e2e / that ceiling — the number that
-        # judges the FRAMEWORK independently of which stage this
-        # particular host bottlenecks (1-core decode, tunneled h2d, ...)
-        stage_rates = {
-            "loader": attribution["loader_images_per_sec"],
-            "h2d": attribution["h2d_images_per_sec"],
-            "device": attribution["device_images_per_sec"],
-        }
-        bottleneck = min(stage_rates, key=stage_rates.get)
-        _log_extra({
-            "metric": "e2e_input_fed_train_images_per_sec",
-            "value": round(seen / dt, 1),
-            "unit": "img/s (disk JPEG -> loader -> K-step fused driver)",
-            "fused_steps": K,
-            "host_cores": multiprocessing.cpu_count(),
-            "pipeline_efficiency": round(
-                (seen / dt) / stage_rates[bottleneck], 2),
-            "bottleneck_stage": bottleneck,
-            **attribution,
-        }, extras)
+        def passes(n_passes):
+            for ep in range(n_passes):
+                yield from stack_batches(
+                    ds.batches(bs, seed=ep, shuffle=True, drop_last=True),
+                    K)
+
+        pipe = device_prefetch(host_prefetch(passes(R), 2), size=2)
+        rate, seen = _steady_state_rate(pipe, fused, state, bs)
+        _emit_e2e(
+            extras, "e2e_input_fed_train_images_per_sec",
+            "img/s (disk JPEG -> loader -> K-step fused driver)",
+            rate, seen, K,
+            {"loader": attribution["loader_images_per_sec"],
+             "h2d": attribution["h2d_images_per_sec"],
+             "device": attribution["device_images_per_sec"]},
+            attribution)
 
 
 def bench_ss_e2e_input_fed(extras):
@@ -435,7 +496,6 @@ def bench_ss_e2e_input_fed(extras):
     augmented student crop, one decode per frame) -> K-step fused SS
     driver. Complements the device-resident ss_loop number with the
     loader in the loop, with the same stage attribution."""
-    import multiprocessing
     import tempfile
     import jax
     from epipolarpose_tpu.config import load_config
@@ -452,7 +512,12 @@ def bench_ss_e2e_input_fed(extras):
     cfg = load_config(ROOT / "experiments" / "h36m"
                       / "train_ss_r50_256_integral.yaml")
     G, K, V = 8, 4, 4           # 8 groups x 4 views per batch, 4 fused
-    frames = G * K * 2
+    # the judged SS config strides DATASET.SUBSAMPLE over time instants;
+    # write enough frames that each pass still yields 2 FULL supers after
+    # the stride (a 1-super pass degenerates the steady-state timing to a
+    # couple of scan steps — measured: images_timed fell to 96)
+    sub = int(cfg.DATASET.SUBSAMPLE) or 1
+    frames = G * K * 2 * sub
     with tempfile.TemporaryDirectory() as td:
         write_synthetic_h36m(td, cfg, num_frames=frames,
                              camera_ids=CAMERA_IDS)
@@ -463,66 +528,49 @@ def bench_ss_e2e_input_fed(extras):
         fused = make_ss_train_step(cfg, model, teacher, donate=False,
                                    flip_pairs=ds.flip_pairs, fused_steps=K)
 
-        # calibration probe outside the timed region (see
-        # _loader_attribution), then loader-only rate (dual-crop: counts
-        # student crops)
-        next(iter(ds.view_batches(G, seed=1, shuffle=False,
-                                  augment=True)), None)
-        t0 = time.time()
-        n_imgs = sum(b["input"].shape[0] * V for b in ds.view_batches(
-            G, seed=1, shuffle=True, augment=True))
-        loader_rate = n_imgs / (time.time() - t0)
+        # stage attribution via the SHARED protocol (dual-crop: counts
+        # student crops, input is (G, V, H, W, C) so count = shape[0]*V)
+        attribution = _loader_attribution(
+            ds,
+            lambda seed, shuffle: ds.view_batches(G, seed=seed,
+                                                  shuffle=shuffle,
+                                                  augment=True),
+            lambda b: b["input"].shape[0] * V)
 
-        # per-stage ceilings (as in bench_e2e_input_fed): h2d of one
-        # super-batch, and the fused SS step device-resident
+        # device ceiling: the fused SS step device-resident (also
+        # compiles it, so _steady_state_rate's warmup is cheap)
         host_super = next(stack_batches(
             ds.view_batches(G, seed=1, shuffle=True, augment=True), K))
         super_imgs = G * V * K
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            dev_super = jax.device_put(host_super)
-            jax.block_until_ready(dev_super)
-            reps.append(time.time() - t0)
-        h2d_rate = super_imgs / float(np.median(reps))
+        dev_super = jax.device_put(host_super)
         st2, m2 = fused(state, dev_super)        # compile + warm
         _ = float(np.asarray(m2["loss"]).ravel()[-1])
         t0 = time.time()
         for _ in range(2):
             st2, m2 = fused(state, dev_super)
         _ = float(np.asarray(m2["loss"]).ravel()[-1])
-        device_rate = 2 * super_imgs / (time.time() - t0)
+        attribution["device_images_per_sec"] = round(
+            2 * super_imgs / (time.time() - t0), 1)
 
-        for epoch in range(2):
-            it = stack_batches(
-                ds.view_batches(G, seed=epoch, shuffle=True, augment=True),
-                K)
-            t0 = time.time()
-            seen = 0
-            m = None
-            for batch in device_prefetch(host_prefetch(it, 2), size=2):
-                state, m = fused(state, batch)
-                seen += G * V * int(batch["input"].shape[0])
-            _ = float(np.asarray(m["loss"]).ravel()[-1])
-            dt = time.time() - t0
-        stage_rates = {"loader": loader_rate, "h2d": h2d_rate,
-                       "device": device_rate}
-        bottleneck = min(stage_rates, key=stage_rates.get)
-        _log_extra({
-            "metric": "ss_e2e_input_fed_train_images_per_sec",
-            "value": round(seen / dt, 1),
-            "unit": "img/s (disk JPEG -> dual-crop loader -> fused SS "
-                    "step; counts student crops)",
-            "fused_steps": K,
-            "host_cores": multiprocessing.cpu_count(),
-            "pipeline_efficiency": round(
-                (seen / dt) / stage_rates[bottleneck], 2),
-            "bottleneck_stage": bottleneck,
-            "loader_images_per_sec": round(loader_rate, 1),
-            "h2d_images_per_sec": round(h2d_rate, 1),
-            "device_images_per_sec": round(device_rate, 1),
-            "loader_path": _loader_path(ds),
-        }, extras)
+        # steady state: chain R passes through ONE live pipeline (warm on
+        # the first super, time the rest) — see bench_e2e_input_fed
+        def passes(n_passes):
+            for ep in range(n_passes):
+                yield from stack_batches(
+                    ds.view_batches(G, seed=ep, shuffle=True,
+                                    augment=True), K)
+
+        pipe = device_prefetch(host_prefetch(passes(4), 2), size=2)
+        rate, seen = _steady_state_rate(pipe, fused, state, G * V)
+        _emit_e2e(
+            extras, "ss_e2e_input_fed_train_images_per_sec",
+            "img/s (disk JPEG -> dual-crop loader -> fused SS step; "
+            "counts student crops)",
+            rate, seen, K,
+            {"loader": attribution["loader_images_per_sec"],
+             "h2d": attribution["h2d_images_per_sec"],
+             "device": attribution["device_images_per_sec"]},
+            attribution)
 
 
 def main():

@@ -1,0 +1,61 @@
+"""Unit tests for bench.py's shared measurement helpers.
+
+The e2e input-fed numbers feed BASELINE's "DataLoader->GPU equivalent"
+narrative; their protocol (steady-state timing, stage attribution,
+bottleneck/efficiency emission) must be pinned so both benches stay
+honest and in sync (VERDICT r2 weak #1/#3).
+"""
+
+import sys
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import bench  # noqa: E402
+
+
+def _fake_fused(counter):
+    def fused(state, batch):
+        counter.append(batch)
+        k = batch["input"].shape[0]
+        return state, {"loss": np.full((k,), 0.5, np.float32)}
+    return fused
+
+
+def test_steady_state_rate_warms_one_super_and_counts_the_rest():
+    K, bs, n_supers = 4, 8, 5
+    supers = [{"input": np.zeros((K, bs, 2), np.uint8)}
+              for _ in range(n_supers)]
+    calls = []
+    rate, seen = bench._steady_state_rate(
+        iter(supers), _fake_fused(calls), state=None, imgs_per_step=bs)
+    # all supers consumed, but only the post-warmup ones counted
+    assert len(calls) == n_supers
+    assert seen == (n_supers - 1) * K * bs
+    assert rate > 0
+
+
+def test_steady_state_rate_handles_ragged_tail_super():
+    # a tail super-batch smaller than K must count its own scan length
+    supers = [{"input": np.zeros((4, 8, 2), np.uint8)},
+              {"input": np.zeros((4, 8, 2), np.uint8)},
+              {"input": np.zeros((2, 8, 2), np.uint8)}]
+    rate, seen = bench._steady_state_rate(
+        iter(supers), _fake_fused([]), state=None, imgs_per_step=8)
+    assert seen == 4 * 8 + 2 * 8
+
+
+def test_emit_e2e_picks_slowest_stage_and_bounds_efficiency(tmp_path,
+                                                            monkeypatch):
+    monkeypatch.setattr(bench, "ROOT", tmp_path)   # don't clobber the
+    extras = []                                    # real bench_extras.json
+    bench._emit_e2e(extras, "m", "img/s", rate=90.0, seen=1000, K=4,
+                    stage_rates={"loader": 500.0, "h2d": 100.0,
+                                 "device": 1400.0},
+                    attribution={"loader_path": "cv2-pool"})
+    (rec,) = extras
+    assert rec["bottleneck_stage"] == "h2d"
+    assert rec["pipeline_efficiency"] == 0.9
+    assert rec["loader_path"] == "cv2-pool"
+    assert (tmp_path / "bench_extras.json").exists()
