@@ -297,14 +297,49 @@ def bench_step():
           f" | fwd+bwd: {timed_scan(loss_bwd, (vol,)) * 1e3:.1f} ms")
 
 
+def fence_check():
+    """Reproduce the round-3 fencing hazard (docs/PROFILE_r3.md §3): per-
+    iteration block_until_ready vs host-materialization timings on a real
+    compute dispatch. On a healthy backend both columns agree (+float is
+    ~one link RTT); through the tunneled axon device the first block-
+    fenced iteration after an unfenced backlog returns early and the
+    float column absorbs the real compute time."""
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2048, 2048)).astype(np.float32))
+
+    @jax.jit
+    def heavy(x):
+        def body(c, _):
+            return jnp.tanh(c @ x), None
+        return jax.lax.scan(body, x, None, length=600)[0]
+
+    out = heavy(x)                       # compile; deliberately UNFENCED
+    for i in range(6):
+        t0 = time.time()
+        out = heavy(x)
+        jax.block_until_ready(out)
+        t1 = time.time()
+        # scalar materialization: waits for the compute without adding a
+        # bulk d2h transfer to the column
+        _ = float(np.asarray(out.ravel()[0]))
+        print(f"iter {i}: block {1e3 * (t1 - t0):8.1f} ms"
+              f"   +float {1e3 * (time.time() - t1):8.1f} ms")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--step", action="store_true")
     p.add_argument("--conv1x1", action="store_true")
+    p.add_argument("--fence-check", action="store_true",
+                   help="block_until_ready vs host-materialize fence A/B "
+                        "(PROFILE_r3 §3)")
     args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    if args.fence_check:
+        fence_check()
+        return
     if args.step or not args.conv1x1:
         bench_step()
     if args.conv1x1 or not args.step:
