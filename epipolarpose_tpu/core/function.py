@@ -124,9 +124,13 @@ def validate(cfg, loader, dataset, state, eval_step, writer=None,
     for batch in loader:
         out = eval_step(state, batch)
         preds = fetch(out["preds"])
-        all_preds.append(preds)
         c = fetch(batch["center"])
         s = fetch(batch["scale"])
+        if preds.ndim == 4:      # fused eval super-batch: (K, bs, J, C)
+            preds = preds.reshape(-1, *preds.shape[2:])
+            c = c.reshape(-1, c.shape[-1])
+            s = s.reshape(-1, s.shape[-1])
+        all_preds.append(preds)
         all_boxes.append(np.concatenate(
             [c, s, np.prod(s * 200, axis=-1, keepdims=True)], axis=-1))
         n_seen += preds.shape[0]

@@ -131,13 +131,20 @@ def make_train_step(cfg, model, mesh=None, donate: bool = True,
                         fused_steps=fused_steps)
 
 
-def make_eval_step(cfg, model, mesh=None, flip_pairs=()):
+def make_eval_step(cfg, model, mesh=None, flip_pairs=(), fused_steps=1):
     """Build the jitted eval step.
 
     gaussian: returns source-space 2D preds + maxvals (optionally flip-test
     averaged with SHIFT_HEATMAP, reference validate [H]).
     integral:  returns (N, J, 3) preds — (x, y) in source pixels, z in
     root-relative mm.
+
+    ``fused_steps=K``: the step takes a K-stacked super-batch and returns
+    outputs with a leading (K,) axis — eval through a high-RTT link is
+    dispatch-bound (one ~RTT round trip per batch vs ~10 ms of compute),
+    so fusing K batches per dispatch divides that tax like the fused
+    train driver (:func:`compile_step`). ``validate()`` flattens the
+    leading axis transparently.
     """
     target_type = cfg.MODEL.EXTRA.TARGET_TYPE
     heatmap_size = tuple(int(v) for v in cfg.MODEL.EXTRA.HEATMAP_SIZE)
@@ -182,6 +189,14 @@ def make_eval_step(cfg, model, mesh=None, flip_pairs=()):
         z_mm = coords[..., 2] * (2.0 * depth_bound)
         return {"preds": jnp.concatenate(
             [xy_src, z_mm[..., None]], axis=-1), "loss_out": out}
+
+    if fused_steps > 1:
+        inner = step
+
+        def step(state, superbatch):          # noqa: F811
+            # stateless scan: one dispatch evaluates K stacked batches
+            return jax.lax.scan(lambda s, b: (s, inner(s, b)),
+                                state, superbatch)[1]
 
     if mesh is not None:
         from epipolarpose_tpu.parallel import replicated

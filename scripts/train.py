@@ -156,7 +156,8 @@ def main():
     else:
         tstep = make_train_step(config, model, mesh=mesh, fused_steps=fused)
     estep = make_eval_step(config, model, mesh=mesh,
-                           flip_pairs=getattr(train_ds, "flip_pairs", ()))
+                           flip_pairs=getattr(train_ds, "flip_pairs", ()),
+                           fused_steps=fused)
 
     import functools
     # single-host: device_put with mesh shardings; pod runs: assemble the
@@ -164,9 +165,10 @@ def main():
     from epipolarpose_tpu.parallel import shard_batch_local
     place = functools.partial(shard_batch_local, mesh=mesh)
     # fused-step super-batches carry a leading (K,) scan axis; the batch
-    # axis to shard over 'data' is then axis 1 (validation stays unfused)
-    place_train = functools.partial(shard_batch_local, mesh=mesh,
+    # axis to shard over 'data' is then axis 1 (train AND eval fuse)
+    place_fused = functools.partial(shard_batch_local, mesh=mesh,
                                     batch_axis=1) if fused > 1 else place
+    place_train = place_fused
 
     best_perf = -np.inf if higher_better else np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
@@ -187,7 +189,8 @@ def main():
         # (DataLoader(bs=TEST.BATCH_SIZE*len(gpus)) in scripts/train.py [H])
         vloader = epoch_loader(
             valid_ds, int(config.TEST.BATCH_SIZE) * mesh.shape["data"],
-            epoch, is_train=False, sharding=place)
+            epoch, is_train=False, sharding=place_fused,
+            fused_steps=fused)
         name_values, perf = validate(config, vloader, valid_ds, state,
                                      estep, writer, output_dir)
         best_perf = (max if higher_better else min)(best_perf, perf)

@@ -61,17 +61,21 @@ def main():
     ds_kwargs = {"num_samples": args.samples} \
         if config.DATASET.DATASET.startswith("synthetic") else {}
     ds = get_dataset(config, config.DATASET.TEST_SET, False, **ds_kwargs)
+    fused = max(1, int(config.TPU.FUSED_STEPS))
     estep = make_eval_step(config, model, mesh=mesh,
-                           flip_pairs=getattr(ds, "flip_pairs", ()))
+                           flip_pairs=getattr(ds, "flip_pairs", ()),
+                           fused_steps=fused)
     import functools
     from epipolarpose_tpu.parallel import shard_batch_local
     # eval batch scales by device count like the reference's
-    # DataLoader(bs=TEST.BATCH_SIZE*len(gpus)) [H]
+    # DataLoader(bs=TEST.BATCH_SIZE*len(gpus)) [H]; fused super-batches
+    # shard the batch axis at axis 1 (leading axis is the scan axis)
     loader = epoch_loader(ds,
                           int(config.TEST.BATCH_SIZE) * mesh.shape["data"],
-                          0, is_train=False,
-                          sharding=functools.partial(shard_batch_local,
-                                                     mesh=mesh))
+                          0, is_train=False, fused_steps=fused,
+                          sharding=functools.partial(
+                              shard_batch_local, mesh=mesh,
+                              **({"batch_axis": 1} if fused > 1 else {})))
     name_values, perf = validate(config, loader, ds, state, estep,
                                  output_dir=output_dir)
     logger.info(f"perf: {perf:.3f}")

@@ -234,3 +234,38 @@ def test_train_loop_tail_superbatch_sample_weighting():
 
     state, avg = train(cfg, iter(batches), FakeState(), fake_step, epoch=0)
     np.testing.assert_allclose(avg, 2.0)
+
+
+def test_fused_eval_matches_single_and_validate_flattens():
+    """Fused eval (stateless scan over a K-super-batch) must return
+    batch-for-batch identical predictions, and validate() must flatten
+    the (K, bs, ...) outputs to the same perf as the unfused loop —
+    including a ragged tail super-batch."""
+    from epipolarpose_tpu.core import make_eval_step, validate
+
+    cfg = _small_cfg("gaussian")
+    cfg.DATASET.DATASET = "synthetic"
+    model = get_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    K = 2
+    batches = _batches(cfg, K)
+    single = make_eval_step(cfg, model)
+    fused = make_eval_step(cfg, model, fused_steps=K)
+    outs = [single(state, b) for b in batches]
+    fo = fused(state, next(stack_batches(iter(batches), K)))
+    assert fo["preds"].shape[0] == K
+    for i in range(K):
+        np.testing.assert_allclose(np.asarray(fo["preds"][i]),
+                                   np.asarray(outs[i]["preds"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    from epipolarpose_tpu.data import SyntheticPoseDataset
+    dv = SyntheticPoseDataset(cfg, num_samples=16, is_train=False,
+                              image_shape=(64, 64))
+    _, perf1 = validate(cfg, epoch_loader(dv, 4, 0, is_train=False),
+                        dv, state, make_eval_step(cfg, model))
+    # fused_steps=3 over 4 batches -> supers of 3 and 1 (ragged tail)
+    _, perf3 = validate(
+        cfg, epoch_loader(dv, 4, 0, is_train=False, fused_steps=3),
+        dv, state, make_eval_step(cfg, model, fused_steps=3))
+    np.testing.assert_allclose(perf3, perf1, rtol=1e-6)
