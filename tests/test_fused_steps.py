@@ -269,3 +269,26 @@ def test_fused_eval_matches_single_and_validate_flattens():
         cfg, epoch_loader(dv, 4, 0, is_train=False, fused_steps=3),
         dv, state, make_eval_step(cfg, model, fused_steps=3))
     np.testing.assert_allclose(perf3, perf1, rtol=1e-6)
+
+
+def test_fused_eval_sharded_matches_unsharded():
+    """Fused eval under the 8-device DP mesh (the pod-relevant shape):
+    super-batch sharded at batch_axis=1, outputs replicated — predictions
+    must match the single-device fused eval."""
+    from epipolarpose_tpu.core import make_eval_step
+
+    cfg = _small_cfg("gaussian")
+    model = get_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    K = 2
+    superbatch = next(stack_batches(iter(_batches(cfg, K, n=16)), K))
+
+    out_a = make_eval_step(cfg, model, fused_steps=K)(state, superbatch)
+
+    mesh = make_mesh(cfg)
+    dev = shard_batch(superbatch, mesh, batch_axis=1)
+    assert dev["input"].sharding.spec[1] == "data"
+    out_b = make_eval_step(cfg, model, mesh=mesh, fused_steps=K)(state, dev)
+    np.testing.assert_allclose(np.asarray(out_a["preds"]),
+                               np.asarray(out_b["preds"]),
+                               rtol=1e-5, atol=1e-5)
