@@ -51,6 +51,16 @@ def resolve_checkpoint_path(path: str) -> str:
     raise FileNotFoundError(f"no orbax checkpoint under {path!r}")
 
 
+def restore_raw(path: str) -> dict:
+    """Untyped restore of any orbax layout this repo writes (see
+    :func:`resolve_checkpoint_path`): the full payload dict, no
+    template validation — for callers that merge/filter themselves
+    (e.g. the 2D->3D pretrained merge, which must tolerate
+    shape-mismatched heads)."""
+    resolved = resolve_checkpoint_path(path)
+    return ocp.StandardCheckpointer().restore(resolved)
+
+
 def load_variables(path: str, template: dict) -> dict:
     """Load model variables from ANY checkpoint layout this repo writes.
 
@@ -59,9 +69,8 @@ def load_variables(path: str, template: dict) -> dict:
     latest/best training payload, which also carries opt_state/step/
     epoch/perf), and leaves are cast to the template's dtypes.
     """
-    resolved = resolve_checkpoint_path(path)
-    ckptr = ocp.StandardCheckpointer()
-    full = ckptr.restore(resolved)        # untyped: tolerates extra keys
+    resolved = path
+    full = restore_raw(path)              # untyped: tolerates extra keys
     missing = [k for k in template if k not in full]
     if missing:
         raise KeyError(f"checkpoint {resolved} lacks {missing}; "
@@ -84,16 +93,26 @@ def load_variables(path: str, template: dict) -> dict:
     return out
 
 
-def load_model_variables(path: str, template: dict,
+def load_model_variables(path: str, template,
                          num_layers: int) -> dict:
     """Load ``{'params', 'batch_stats'}`` from EITHER checkpoint format
     this repo reads: a reference-format torch ``.pth``/``.pth.tar`` file
     (reference TEST.MODEL_FILE semantics) or any orbax layout accepted by
     :func:`resolve_checkpoint_path`. The single call site for the suffix
-    dispatch previously copy-pasted into every CLI."""
+    dispatch previously copy-pasted into every CLI.
+
+    ``template``: a pytree (strict tree-match + dtype cast), a ZERO-ARG
+    CALLABLE returning one (built lazily — the torch branch never needs
+    it, so e.g. load_teacher skips a throwaway device init), or ``None``
+    for an untyped restore the caller merges/filters itself (the 2D->3D
+    pretrained merge must tolerate shape-mismatched heads)."""
     if str(path).endswith((".pth", ".pth.tar")):
         from epipolarpose_tpu.models import load_torch_checkpoint
         return load_torch_checkpoint(str(path), num_layers)
+    if template is None:
+        return restore_raw(str(path))
+    if callable(template):
+        template = template()
     return load_variables(str(path), template)
 
 

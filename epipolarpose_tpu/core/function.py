@@ -57,18 +57,19 @@ def train(cfg, loader, state, train_step, epoch: int, writer=None,
         else:
             n = int(batch["input"].shape[0])
         if i % int(cfg.PRINT_FREQ) == 0:
-            if cfg.DEBUG.DEBUG and output_dir is not None \
-                    and batch["input"].ndim in (4, 5):
-                from epipolarpose_tpu.utils.vis import save_debug_images
-                # fused super-batch (K, bs, H, W, C): dump the first
-                # scanned step so DEBUG keeps working under FUSED_STEPS>1
-                sl = (lambda v: np.asarray(v[0])) \
-                    if batch["input"].ndim == 5 else np.asarray
-                save_debug_images(
-                    cfg, {k: sl(v) for k, v in batch.items()
-                          if k in ("input", "joints", "joints_vis")},
-                    None, None, None,
-                    f"{output_dir}/train_{epoch}_{i}")
+            if cfg.DEBUG.DEBUG and output_dir is not None:
+                # fused super-batches carry a leading scan axis (detected
+                # by metrics rank above, NOT input ndim — an unfused SS
+                # multiview batch is also 5-D): dump the first scanned
+                # step; multiview (still 5-D after slicing) stays skipped
+                # like the pre-fused behavior.
+                sl = (lambda v: np.asarray(v[0])) if fused else np.asarray
+                dbg = {k: sl(v) for k, v in batch.items()
+                       if k in ("input", "joints", "joints_vis")}
+                if dbg["input"].ndim == 4:
+                    from epipolarpose_tpu.utils.vis import save_debug_images
+                    save_debug_images(cfg, dbg, None, None, None,
+                                      f"{output_dir}/train_{epoch}_{i}")
             # sync only when logging so the device pipeline stays full
             # (one host materialization per metric per log line)
             loss_v = float(np.mean(np.asarray(metrics["loss"])))

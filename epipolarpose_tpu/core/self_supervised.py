@@ -77,19 +77,24 @@ def load_teacher(cfg, fallback_state=None) -> Teacher:
         dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
         else jnp.float32)
     pretrained = str(cfg.MODEL.PRETRAINED)
-    params, stats = init_pose_net(model, jax.random.PRNGKey(1),
-                                  tuple(cfg.MODEL.IMAGE_SIZE))
+
+    def init():
+        p, s = init_pose_net(model, jax.random.PRNGKey(1),
+                             tuple(cfg.MODEL.IMAGE_SIZE))
+        return {"params": p, "batch_stats": s}
+
     if pretrained:
         # accepts BOTH formats, like every other checkpoint entry point:
         # a torch .pth(.tar) OR an orbax dir (e.g. the best/ checkpoint of
-        # a fully-supervised 2D run trained with this repo)
+        # a fully-supervised 2D run trained with this repo). The template
+        # is a lazy factory: the torch branch never pays the device init.
         from epipolarpose_tpu.core.checkpoint import load_model_variables
-        variables = load_model_variables(
-            pretrained, {"params": params, "batch_stats": stats},
-            int(extra.NUM_LAYERS))
+        variables = load_model_variables(pretrained, init,
+                                         int(extra.NUM_LAYERS))
         return Teacher(model, variables["params"],
                        variables["batch_stats"])
-    return Teacher(model, params, stats)
+    v = init()
+    return Teacher(model, v["params"], v["batch_stats"])
 
 
 def teacher_detect(cfg, teacher: Teacher, imgs, centers, scales):

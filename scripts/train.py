@@ -99,10 +99,13 @@ def main():
         int(config.TPU.SEED)), steps_per_epoch)
 
     if config.MODEL.PRETRAINED:
-        from epipolarpose_tpu.models import load_torch_checkpoint
+        from epipolarpose_tpu.core import load_model_variables
         logger.info(f"loading pretrained {config.MODEL.PRETRAINED}")
-        variables = load_torch_checkpoint(
-            config.MODEL.PRETRAINED, int(config.MODEL.EXTRA.NUM_LAYERS))
+        # template=None: untyped restore — merge_matching below must see
+        # shape-mismatched heads (2D teacher -> 3D student) to skip them
+        variables = load_model_variables(
+            config.MODEL.PRETRAINED, None,
+            int(config.MODEL.EXTRA.NUM_LAYERS))
 
         def merge_matching(dst, src, path=""):
             """Copy only shape-compatible leaves: a 2D teacher checkpoint
@@ -168,7 +171,6 @@ def main():
     # axis to shard over 'data' is then axis 1 (train AND eval fuse)
     place_fused = functools.partial(shard_batch_local, mesh=mesh,
                                     batch_axis=1) if fused > 1 else place
-    place_train = place_fused
 
     best_perf = -np.inf if higher_better else np.inf
     for epoch in range(begin_epoch, int(config.TRAIN.END_EPOCH)):
@@ -177,7 +179,7 @@ def main():
         loader = epoch_loader(train_ds, batch_size, epoch,
                               multiview=self_supervised,
                               prefetch=int(config.TPU.PREFETCH),
-                              sharding=place_train, fused_steps=fused)
+                              sharding=place_fused, fused_steps=fused)
         state, avg_loss = train(config, loader, state, tstep, epoch, writer,
                                 output_dir)
         if args.profile and epoch == begin_epoch:
