@@ -311,32 +311,10 @@ def _loader_attribution(ds, make_iter, count) -> dict:
     loader_dt = time.time() - t0
     n_imgs = sum(count(b) for b in batches)
 
-    # 2) host->device transfer bandwidth for one batch (median of 3).
-    #    Fence with a DEPENDENT host read — block_until_ready can return
-    #    early through the tunneled device (see _dispatch_latency) — and
-    #    subtract the link round-trip so the read's own RTT doesn't
-    #    deflate the bandwidth estimate.
-    tiny = np.zeros((1,), np.float32)
-    rtts = []
-    for _ in range(3):
-        t0 = time.time()
-        _ = np.asarray(jax.device_put(tiny))[0]
-        rtts.append(time.time() - t0)
-    rtt = float(np.median(rtts))
-
+    # 2) host->device transfer bandwidth for one batch (median of 3)
     sample = batches[0]
+    rtt, h2d_s = _h2d_measure(sample)
     nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(sample))
-    reps = []
-    for _ in range(3):
-        t0 = time.time()
-        dev = jax.device_put(sample)
-        # dependent read from the LARGEST leaf (the image tensor, >99% of
-        # the bytes): a buffer is consumable only once fully transferred,
-        # so this bounds the unfenced remainder to the small-leaf KBs
-        big = max(jax.tree.leaves(dev), key=lambda a: a.nbytes)
-        _ = np.asarray(big.ravel()[0])
-        reps.append(time.time() - t0)
-    h2d_s = max(float(np.median(reps)) - rtt, 1e-9)
 
     calib = getattr(ds, "calibration", None)
     return {
@@ -345,9 +323,58 @@ def _loader_attribution(ds, make_iter, count) -> dict:
         "h2d_images_per_sec": round(count(sample) / h2d_s, 1),
         "link_rtt_ms": round(rtt * 1e3, 1),
         "loader_path": _loader_path(ds),
+        "_sample": sample,               # for _h2d_recheck; never emitted
+        "_count": count,
         **({"loader_calibration_advantage":
             round(calib["native_advantage"], 3)} if calib else {}),
     }
+
+
+def _h2d_measure(sample):
+    """(link rtt s, transfer s) for one host batch -> device.
+
+    Fence with a DEPENDENT host read of the LARGEST leaf (the image
+    tensor, >99% of the bytes; a buffer is consumable only once fully
+    transferred) — block_until_ready can return early through the
+    tunneled device (see _dispatch_latency) — and subtract the link
+    round-trip so the read's own RTT doesn't deflate the estimate."""
+    import jax
+    tiny = np.zeros((1,), np.float32)
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        _ = np.asarray(jax.device_put(tiny))[0]
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        dev = jax.device_put(sample)
+        big = max(jax.tree.leaves(dev), key=lambda a: a.nbytes)
+        _ = np.asarray(big.ravel()[0])
+        reps.append(time.time() - t0)
+    return rtt, max(float(np.median(reps)) - rtt, 1e-9)
+
+
+def _h2d_recheck(attribution):
+    """Re-probe h2d AFTER the timed region and keep the best observed
+    rate as the ceiling: the tunneled link's bandwidth drifts between
+    probes (measured 57 -> 74 MB/s across one bench run), and a stale
+    pre-timing probe makes pipeline_efficiency exceed 1.0 for link
+    reasons, not framework ones. Efficiency can still nose past 1 if the
+    link peaked mid-window; both probes bound the drift."""
+    sample = attribution.pop("_sample", None)
+    count = attribution.pop("_count", None)
+    if sample is None:
+        return
+    rtt, h2d_s = _h2d_measure(sample)
+    rate = count(sample) / h2d_s
+    if rate > attribution["h2d_images_per_sec"]:
+        import jax
+        nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(sample))
+        attribution["h2d_MB_per_sec"] = round(nbytes / 1e6 / h2d_s, 1)
+        attribution["h2d_images_per_sec"] = round(rate, 1)
+        attribution["link_rtt_ms"] = round(rtt * 1e3, 1)
 
 
 def _steady_state_rate(pipe, fused, state, imgs_per_step: int):
@@ -490,6 +517,7 @@ def bench_e2e_input_fed(extras):
 
         pipe = device_prefetch(host_prefetch(passes(R), 2), size=2)
         rate, seen = _steady_state_rate(pipe, fused, state, bs)
+        _h2d_recheck(attribution)
         _emit_e2e(
             extras, "e2e_input_fed_train_images_per_sec",
             "img/s (disk JPEG -> loader -> K-step fused driver)",
@@ -574,6 +602,7 @@ def bench_ss_e2e_input_fed(extras):
         # capacity (same head-start rationale as bench_e2e_input_fed)
         pipe = device_prefetch(host_prefetch(passes(6), 2), size=2)
         rate, seen = _steady_state_rate(pipe, fused, state, G * V)
+        _h2d_recheck(attribution)
         _emit_e2e(
             extras, "ss_e2e_input_fed_train_images_per_sec",
             "img/s (disk JPEG -> dual-crop loader -> fused SS step; "
