@@ -43,9 +43,18 @@ def _render_blobs(joints, shape, num_joints, blob_sigma=4.0):
 
 
 class SyntheticPoseDataset(JointsDataset):
-    """Single-view synthetic dataset; MPII-compatible surface."""
+    """Single-view synthetic dataset; MPII-compatible surface.
 
-    flip_pairs = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
+    ``flip_pairs`` is EMPTY on purpose: each blob keeps a unique,
+    side-independent color, so a horizontal flip is a pure geometric
+    mirror — label j still marks the color-j blob. Human-style pair
+    swapping (reference fliplr_joints) would relabel color-a blobs as b
+    on every flipped sample: 50% of the epoch gets contradictory labels
+    and training plateaus (measured: r50@256 PCKh stuck ~18 with pairs
+    declared). Pair-swap logic itself is exercised by tests with explicit
+    flip_pairs and by the real MPII/H36M datasets."""
+
+    flip_pairs = ()
 
     def __init__(self, cfg, num_samples: int = 64, is_train: bool = True,
                  image_shape=(256, 256), seed: int = 0, **kwargs):
@@ -114,7 +123,9 @@ class SyntheticMultiviewDataset(JointsDataset):
     """H36M-style synthetic rig: 4 views per time instant, GT 3D joints
     (world mm), per-view cameras, multi-view groups."""
 
-    flip_pairs = ((1, 4), (2, 5), (3, 6), (11, 14), (12, 15), (13, 16))
+    # empty for the same label-consistency reason as SyntheticPoseDataset:
+    # blob colors are side-independent, so flips must not swap labels
+    flip_pairs = ()
     root_idx = 0
     perf_higher_is_better = False   # evaluates like H36M (MPJPE)
 
