@@ -285,7 +285,7 @@ def _loader_path(ds) -> str:
     return str(getattr(ds.cfg.TPU, "NATIVE_LOADER", "?"))
 
 
-def _loader_attribution(ds, make_iter, count) -> dict:
+def _loader_attribution(ds, make_iter, count, warm=None) -> dict:
     """Measure the host pipeline stages separately so the e2e number is
     attributable (VERDICT r2 weak #1: the aggregate swung 42-184 img/s on
     identical code with no way to see which stage moved).
@@ -302,8 +302,13 @@ def _loader_attribution(ds, make_iter, count) -> dict:
     # 0) run the one-shot path calibration OUTSIDE the timed region — its
     #    3+3 full-batch probe decodes would otherwise deflate the loader
     #    rate (and push pipeline_efficiency past 1.0, since the e2e rate
-    #    below is measured on a warm pipeline)
-    next(iter(make_iter(1, False)), None)
+    #    below is measured on a warm pipeline). ``warm`` pulls ONE plain
+    #    batch (enough to trigger calibration); falling back to the
+    #    stacked iterator would decode a whole K-super just to warm up.
+    if warm is not None:
+        warm()
+    else:
+        next(iter(make_iter(1, False)), None)
 
     # 1) loader-only rate (decode+warp on host, no device involved)
     t0 = time.time()
@@ -496,7 +501,9 @@ def bench_e2e_input_fed(extras):
             lambda seed, shuffle: stack_batches(
                 ds.batches(bs, seed=seed, shuffle=shuffle,
                            drop_last=True), K),
-            lambda b: b["input"].shape[0] * bs)
+            lambda b: b["input"].shape[0] * bs,
+            warm=lambda: next(iter(ds.batches(bs, seed=1, shuffle=False,
+                                              drop_last=True)), None))
 
         step = make_train_step(cfg, model, donate=False)
         fused = make_train_step(cfg, model, donate=False, fused_steps=K)
@@ -573,7 +580,10 @@ def bench_ss_e2e_input_fed(extras):
             lambda seed, shuffle: stack_batches(
                 ds.view_batches(G, seed=seed, shuffle=shuffle,
                                 augment=True), K),
-            lambda b: b["input"].shape[0] * G * V)
+            lambda b: b["input"].shape[0] * G * V,
+            warm=lambda: next(iter(ds.view_batches(G, seed=1,
+                                                   shuffle=False,
+                                                   augment=True)), None))
 
         # device ceiling: the fused SS step device-resident (also
         # compiles it, so _steady_state_rate's warmup is cheap)

@@ -79,11 +79,18 @@ def _canon_annot(a: np.ndarray, k: int, num_joints: int = 17) -> np.ndarray:
     if a.shape[-1] == k and a.shape[-2] == num_joints:
         return a                          # canonical (incl. ambiguous)
     import itertools
-    for perm in itertools.permutations(range(3)):
-        if a.shape[perm[2]] == k and a.shape[perm[1]] == num_joints:
-            return np.ascontiguousarray(a.transpose(perm))
-    raise ValueError(f"cannot locate (J={num_joints}, k={k}) axes in "
-                     f"annot array of shape {a.shape}")
+    matches = [perm for perm in itertools.permutations(range(3))
+               if a.shape[perm[2]] == k and a.shape[perm[1]] == num_joints]
+    if not matches:
+        raise ValueError(f"cannot locate (J={num_joints}, k={k}) axes in "
+                         f"annot array of shape {a.shape}")
+    # Degenerate sequences (F == num_joints or F == k) match several
+    # permutations; prefer the full reverse — the one layout that occurs
+    # in the wild (h5py reads v7.3 column-major) — over lexicographic
+    # order, which would otherwise scramble joints into the frame axis
+    # for a 17-frame sequence.
+    perm = (2, 1, 0) if (2, 1, 0) in matches else matches[0]
+    return np.ascontiguousarray(a.transpose(perm))
 
 
 def fit_pinhole_intrinsics(px: np.ndarray, cam3d: np.ndarray):

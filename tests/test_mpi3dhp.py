@@ -93,3 +93,12 @@ def test_canon_annot_shapes():
     import pytest
     with pytest.raises(ValueError):
         _canon_annot(np.zeros((4, 16, 3)), 2)
+
+
+def test_canon_annot_17_frame_sequence_reversed():
+    """A v7.3 sequence with exactly F == J == 17 frames: the (k, 17, 17)
+    column-major read matches several permutations; the full reverse must
+    win or joints get scrambled into the frame axis."""
+    from epipolarpose_tpu.data.mpi3dhp import _canon_annot
+    a = np.arange(17 * 17 * 2, dtype=np.float32).reshape(17, 17, 2)
+    np.testing.assert_array_equal(_canon_annot(a.transpose(2, 1, 0), 2), a)

@@ -67,6 +67,57 @@ def test_convert_cameras_h5(tmp_path):
     assert np.allclose(loaded[key].f, [1100.0, 1101.0])
 
 
+def test_decode_camera_name_dtypes():
+    """'Name' decode across export dtypes: uint16 UTF-16-LE code units,
+    uint8 ASCII, numeric char codes from MATLAB/scipy re-exports
+    (int16/int32/float64 — raw-digit concatenation would build a wrong
+    but plausible id like '5352...'), and a literal numeric id."""
+    from prepare_h36m import _decode_camera_name
+    want = "54138969"
+    codes = [ord(c) for c in want]
+    assert _decode_camera_name(
+        np.frombuffer(want.encode("utf-16-le"), np.uint16)) == want
+    assert _decode_camera_name(np.array(codes, np.uint8)) == want
+    for dt in (np.int16, np.int32, np.float64):
+        assert _decode_camera_name(np.array(codes, dt)) == want
+    assert _decode_camera_name(np.array([54138969], np.int64)) == want
+    assert _decode_camera_name(np.array(list(want), "U1")) == want
+
+
+def test_export_torch_cli_pth_resave(tmp_path):
+    """tools/export_torch.py end-to-end on the .pth re-save branch (the
+    conversion math itself is oracle-tested in test_models.py)."""
+    import os
+    import torch
+    sys.path.insert(0, str(ROOT))
+    from epipolarpose_tpu.models import save_torch_checkpoint
+    from epipolarpose_tpu.models.pose_resnet import (PoseResNet,
+                                                     init_pose_net)
+    import jax
+    import jax.numpy as jnp
+    model = PoseResNet(num_layers=18, num_joints=17, dtype=jnp.float32,
+                       depth_dim=8, num_deconv_filters=(64, 64, 64))
+    params, stats = init_pose_net(model, jax.random.PRNGKey(0), (64, 64))
+    src = tmp_path / "in.pth.tar"
+    save_torch_checkpoint(str(src), {"params": params,
+                                     "batch_stats": stats})
+    dst = tmp_path / "out.pth.tar"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "export_torch.py"),
+         "--cfg", str(ROOT / "experiments/debug/synth_smoke_3d.yaml"),
+         "--model-file", str(src), "--out", str(dst)],
+        text=True, capture_output=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    a = torch.load(str(src), map_location="cpu",
+                   weights_only=True)["state_dict"]
+    b = torch.load(str(dst), map_location="cpu",
+                   weights_only=True)["state_dict"]
+    assert sorted(a) == sorted(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k].numpy(), b[k].numpy(), err_msg=k)
+
+
 def test_cli_end_to_end(tmp_path):
     raw = [{"image": "a.jpg", "center": [1, 2], "scale": 1.0,
             "joints_2d": [[0, 0]] * 17, "subject": 1, "action": "X",

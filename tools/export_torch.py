@@ -30,23 +30,23 @@ def main():
     p.add_argument("--out", required=True, help="output .pth.tar path")
     args = p.parse_args()
 
-    import jax
     from epipolarpose_tpu.config import load_config
-    from epipolarpose_tpu.core import create_train_state
-    from epipolarpose_tpu.models import (get_model, load_torch_checkpoint,
-                                         save_torch_checkpoint)
+    from epipolarpose_tpu.core import load_model_variables
+    from epipolarpose_tpu.models import save_torch_checkpoint
 
     cfg = load_config(args.cfg)
-    mf = args.model_file
-    if mf.endswith((".pth", ".pth.tar")):
-        variables = load_torch_checkpoint(
-            mf, int(cfg.MODEL.EXTRA.NUM_LAYERS))
-    else:
-        from epipolarpose_tpu.core import load_variables
+
+    def template():
+        # built lazily: the .pth re-save branch never pays a model init
+        import jax
+        from epipolarpose_tpu.core import create_train_state
+        from epipolarpose_tpu.models import get_model
         model = get_model(cfg, is_train=False)
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), 1)
-        variables = load_variables(
-            mf, {"params": state.params, "batch_stats": state.batch_stats})
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    variables = load_model_variables(args.model_file, template,
+                                     int(cfg.MODEL.EXTRA.NUM_LAYERS))
     save_torch_checkpoint(args.out, variables)
     print(f"wrote {args.out}")
 

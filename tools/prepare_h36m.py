@@ -43,8 +43,17 @@ def _decode_camera_name(arr: np.ndarray) -> str:
         return arr.tobytes().decode("utf-16-le", "ignore")
     if arr.dtype == np.uint8:
         return arr.tobytes().decode("ascii", "ignore")
-    # numeric name (unlikely): digits of the values
-    return "".join(str(int(v)) for v in arr.ravel())
+    # other numeric dtypes: re-exports (MATLAB/scipy) may store ASCII
+    # char CODES as int16/int32/float — concatenating raw values there
+    # would build a wrong-but-plausible digit string ('5','4' -> 53,52 ->
+    # "5352...") that defeats the positional fallback. If every value
+    # looks like a printable ASCII code, decode as characters; otherwise
+    # treat the values as literal digits (e.g. a single int 54138969).
+    vals = arr.ravel()
+    if vals.size and np.all((vals >= 32) & (vals <= 126)
+                            & (vals == np.floor(vals))):
+        return "".join(chr(int(v)) for v in vals)
+    return "".join(str(int(v)) for v in vals)
 
 
 def convert_cameras_h5(path: str) -> dict:
