@@ -50,10 +50,16 @@ def main():
         config.WORKERS = args.workers
     if args.epochs is not None:
         config.TRAIN.END_EPOCH = args.epochs
-    if args.synthetic:
+    if args.synthetic and not config.DATASET.DATASET.startswith("synthetic"):
+        # SS configs need the multi-view rig; fully-supervised INTEGRAL
+        # configs get it too — its records carry GT camera-frame 3D, so
+        # depth is genuinely supervised and evaluate() runs the full
+        # MPJPE protocol (the single-view synthetic set is 2D-only:
+        # z would train against zero-weighted targets and eval as PCKh)
         config.DATASET.DATASET = (
             "synthetic_multiview"
-            if config.DATASET.LABEL_SOURCE == "triangulated"
+            if (config.DATASET.LABEL_SOURCE == "triangulated"
+                or str(config.MODEL.EXTRA.get("TARGET_TYPE")) == "integral")
             else "synthetic")
 
     if args.distributed:

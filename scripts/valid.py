@@ -33,8 +33,13 @@ def main():
     update_config(args.cfg)
     if args.model_file:
         config.TEST.MODEL_FILE = args.model_file
-    if args.synthetic:
-        config.DATASET.DATASET = "synthetic"
+    if args.synthetic and not config.DATASET.DATASET.startswith("synthetic"):
+        # integral configs -> the multi-view rig: GT camera-frame 3D, so
+        # evaluate() exercises the full MPJPE protocol (see train.py)
+        config.DATASET.DATASET = (
+            "synthetic_multiview"
+            if str(config.MODEL.EXTRA.get("TARGET_TYPE")) == "integral"
+            else "synthetic")
 
     import jax
     from epipolarpose_tpu.core import (
@@ -59,7 +64,9 @@ def main():
         logger.info(f"loaded {mf}")
 
     ds_kwargs = {"num_samples": args.samples} \
-        if config.DATASET.DATASET.startswith("synthetic") else {}
+        if config.DATASET.DATASET == "synthetic" else (
+            {"num_frames": max(args.samples // 4, 4)}
+            if config.DATASET.DATASET == "synthetic_multiview" else {})
     ds = get_dataset(config, config.DATASET.TEST_SET, False, **ds_kwargs)
     fused = max(1, int(config.TPU.FUSED_STEPS))
     estep = make_eval_step(config, model, mesh=mesh,
