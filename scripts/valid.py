@@ -24,13 +24,23 @@ def parse_args():
                    help="override TEST.MODEL_FILE")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--samples", type=int, default=64)
+    # reference valid.py carries the same update_dir args as train.py [M]
+    p.add_argument("--modelDir", type=str, default=None)
+    p.add_argument("--logDir", type=str, default=None)
+    p.add_argument("--dataDir", type=str, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host pod run: jax.distributed.initialize() "
+                        "from TPU environment variables (same flag as "
+                        "train.py; validate() all-gathers host-sharded "
+                        "predictions so every process prints the table)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    from epipolarpose_tpu.config import config, update_config
+    from epipolarpose_tpu.config import config, update_config, update_dir
     update_config(args.cfg)
+    update_dir(config, args.modelDir, args.logDir, args.dataDir)
     if args.model_file:
         config.TEST.MODEL_FILE = args.model_file
     if args.synthetic and not config.DATASET.DATASET.startswith("synthetic"):
@@ -41,7 +51,14 @@ def main():
             if str(config.MODEL.EXTRA.get("TARGET_TYPE")) == "integral"
             else "synthetic")
 
-    import jax
+    if args.distributed:
+        # pod-scale eval (SURVEY §2.C): each host decodes its 1/P slice of
+        # every batch (epoch_loader's process_index/count defaults),
+        # shard_batch_local assembles global arrays, validate() gathers.
+        import jax
+        jax.distributed.initialize()
+
+    import jax  # noqa: F811 (harmless re-import when not distributed)
     from epipolarpose_tpu.core import (
         create_logger, create_train_state, make_eval_step, validate)
     from epipolarpose_tpu.data import get_dataset, epoch_loader

@@ -1,0 +1,86 @@
+"""End-to-end CLI smoke: scripts/train.py then scripts/valid.py.
+
+The reference's de-facto verification is running its train/valid CLIs
+(SURVEY.md §4); demo.py and generate_pseudo_gt.py already have CLI tests,
+but the two headline entry points did not. This drives the full user
+workflow data-free: train one epoch on the tiny synthetic config, find
+the checkpoint it wrote (reference output-dir layout), and evaluate it
+with valid.py --model-file, asserting the metric table prints.
+"""
+
+import os
+import pathlib
+import re
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+CFG = "experiments/debug/synth_smoke.yaml"
+
+
+@pytest.mark.slow
+def test_train_then_valid_cli(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    out_dir = tmp_path / "output"
+    log_dir = tmp_path / "log"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "train.py"),
+         "--cfg", str(ROOT / CFG), "--synthetic", "--samples", "32",
+         "--epochs", "1", "--workers", "1",
+         "--modelDir", str(out_dir), "--logDir", str(log_dir)],
+        text=True, capture_output=True, env=env, cwd=str(ROOT),
+        timeout=1200)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+    # reference layout: <OUTPUT_DIR>/<dataset>/<model>/<cfg-name>/...
+    finals = list(out_dir.rglob("final_state"))
+    assert finals, list(out_dir.rglob("*"))
+    ckpts = list(out_dir.rglob("checkpoints"))
+    assert ckpts and (ckpts[0] / "best").exists(), ckpts
+
+    v = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "valid.py"),
+         "--cfg", str(ROOT / CFG), "--synthetic", "--samples", "32",
+         "--model-file", str(finals[0]),
+         "--modelDir", str(tmp_path / "voutput"),
+         "--logDir", str(tmp_path / "vlog")],
+        text=True, capture_output=True, env=env, cwd=str(ROOT),
+        timeout=1200)
+    assert v.returncode == 0, (v.stdout[-2000:], v.stderr[-2000:])
+    text = v.stdout + v.stderr
+    assert re.search(r"perf:\s*[0-9.]+", text), text[-2000:]
+    # the metric table (PCKh protocol on the 2D config) must print
+    assert "Mean" in text, text[-2000:]
+
+
+@pytest.mark.slow
+def test_train_refiner_then_demo_cli(tmp_path):
+    """The 'SS + R' user workflow: train the refinement unit, then apply
+    it in the demo (reference refiner/ side-car + demo.ipynb)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    cfg3d = str(ROOT / "experiments" / "debug" / "synth_smoke_3d.yaml")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "train_refiner.py"),
+         "--cfg", cfg3d, "--synthetic", "--steps", "60",
+         "--batch", "64", "--out", str(tmp_path / "refiner")],
+        text=True, capture_output=True, env=env, cwd=str(ROOT),
+        timeout=1200)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    m = re.search(r"noisy->GT:\s*([0-9.]+) mm ; refined->GT:\s*([0-9.]+)",
+                  r.stdout)
+    assert m, r.stdout[-2000:]
+    # even 60 steps must beat identity on gaussian corruption
+    assert float(m.group(2)) < float(m.group(1)), m.groups()
+    refiner = tmp_path / "refiner" / "refiner_state"
+    assert refiner.exists()
+
+    d = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "demo.py"),
+         "--cfg", cfg3d, "--out", str(tmp_path / "demo"),
+         "--refiner-file", str(refiner)],
+        text=True, capture_output=True, env=env, cwd=str(ROOT),
+        timeout=1200)
+    assert d.returncode == 0, (d.stdout[-2000:], d.stderr[-2000:])
+    assert (tmp_path / "demo" / "pose_3d.png").stat().st_size > 0
