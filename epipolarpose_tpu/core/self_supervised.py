@@ -31,6 +31,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from epipolarpose_tpu.core.steps import normalize_images
 from epipolarpose_tpu.geometry import (
@@ -262,12 +263,21 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
 
 
 def load_refiner(cfg, checkpoint_path: str):
-    """Load a trained refinement unit -> callable for make_ss_train_step."""
-    from epipolarpose_tpu.core.checkpoint import load_variables
+    """Load a trained refinement unit -> callable for make_ss_train_step.
+
+    Width/depth are INFERRED from the checkpoint's parameter shapes (the
+    trainer exposes --hidden/--blocks; a fixed-arch template restore would
+    reject any non-default refiner)."""
+    from epipolarpose_tpu.core.checkpoint import load_variables, restore_raw
     from epipolarpose_tpu.core.refine import create_refiner_state, \
         make_refiner_apply
+    raw = restore_raw(checkpoint_path)
+    stem = raw["params"]["_LinearBlock_0"]["Dense_0"]["kernel"]
+    hidden = int(np.asarray(stem).shape[1])
+    blocks = sum(1 for k in raw["params"] if k.startswith("_ResidualBlock_"))
     model, state = create_refiner_state(int(cfg.MODEL.NUM_JOINTS),
-                                        jax.random.PRNGKey(0))
+                                        jax.random.PRNGKey(0),
+                                        hidden=hidden, blocks=blocks)
     restored = load_variables(checkpoint_path,
                               {"params": state.params,
                                "batch_stats": state.batch_stats})

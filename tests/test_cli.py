@@ -22,7 +22,8 @@ CFG = "experiments/debug/synth_smoke.yaml"
 
 @pytest.mark.slow
 def test_train_then_valid_cli(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    from util import cpu_env
+    env = cpu_env()
     out_dir = tmp_path / "output"
     log_dir = tmp_path / "log"
     r = subprocess.run(
@@ -57,22 +58,27 @@ def test_train_then_valid_cli(tmp_path):
 
 @pytest.mark.slow
 def test_train_refiner_then_demo_cli(tmp_path):
-    """The 'SS + R' user workflow: train the refinement unit, then apply
-    it in the demo (reference refiner/ side-car + demo.ipynb)."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    """The 'SS + R' user workflow: train the refinement unit on
+    triangulated structured skeletons, then apply it in the demo
+    (reference refiner/ side-car + demo.ipynb)."""
+    from util import cpu_env
+    env = cpu_env()
     cfg3d = str(ROOT / "experiments" / "debug" / "synth_smoke_3d.yaml")
     r = subprocess.run(
         [sys.executable, str(ROOT / "scripts" / "train_refiner.py"),
-         "--cfg", cfg3d, "--synthetic", "--steps", "60",
-         "--batch", "64", "--out", str(tmp_path / "refiner")],
+         "--cfg", cfg3d, "--synthetic", "--steps", "800",
+         "--batch", "256", "--poses", "1024", "--hidden", "512",
+         "--dropout", "0.1", "--out", str(tmp_path / "refiner")],
         text=True, capture_output=True, env=env, cwd=str(ROOT),
         timeout=1200)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     m = re.search(r"noisy->GT:\s*([0-9.]+) mm ; refined->GT:\s*([0-9.]+)",
                   r.stdout)
     assert m, r.stdout[-2000:]
-    # even 60 steps must beat identity on gaussian corruption
-    assert float(m.group(2)) < float(m.group(1)), m.groups()
+    # the refiner must MEASURABLY denoise triangulations of the structured
+    # skeleton bank, with margin (deterministic: fixed seeds end to end;
+    # measured 74.82 -> 53.61 mm = 0.72x on this recipe)
+    assert float(m.group(2)) <= 0.8 * float(m.group(1)), m.groups()
     refiner = tmp_path / "refiner" / "refiner_state"
     assert refiner.exists()
 

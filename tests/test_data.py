@@ -410,7 +410,8 @@ if __name__ == "__main__":
     assert len(got) == 2 and got[0]["input"].shape == (4, 256, 256, 3)
     print("MP-GRAIN-OK")
 """)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from util import cpu_env
+    env = cpu_env()
     out = subprocess.run([sys.executable, str(script)], text=True,
                          capture_output=True, env=env, timeout=300)
     assert "MP-GRAIN-OK" in out.stdout, out.stderr[-2000:]

@@ -20,7 +20,8 @@ DEBUG_CFG = "experiments/debug/synth_smoke_3d.yaml"
 
 @pytest.mark.slow
 def test_demo_script_data_free(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    from util import cpu_env
+    env = cpu_env()
     out = subprocess.run(
         [sys.executable, str(ROOT / "scripts" / "demo.py"),
          "--cfg", str(ROOT / DEBUG_CFG), "--out", str(tmp_path)],

@@ -128,7 +128,9 @@ def test_two_process_pod_dp_matches_single_process(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    env = {k: v for k, v in os.environ.items()
+    from util import cpu_env
+    # workers set their own JAX_PLATFORMS/XLA_FLAGS (2 virtual devices each)
+    env = {k: v for k, v in cpu_env().items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen([sys.executable, str(script), str(i),
                                str(port)],

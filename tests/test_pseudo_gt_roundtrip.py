@@ -53,7 +53,8 @@ TPU:
 """)
     annot = tmp_path / "annot" / "train.json"
     merged = tmp_path / "annot" / "train_pseudo.json"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from util import cpu_env
+    env = cpu_env()
     out = subprocess.run(
         [sys.executable, str(ROOT / "scripts" / "generate_pseudo_gt.py"),
          "--cfg", str(yaml), "--gt-detections", "--groups-per-batch", "2",

@@ -102,7 +102,8 @@ def test_export_torch_cli_pth_resave(tmp_path):
     save_torch_checkpoint(str(src), {"params": params,
                                      "batch_stats": stats})
     dst = tmp_path / "out.pth.tar"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from util import cpu_env
+    env = cpu_env()
     r = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "export_torch.py"),
          "--cfg", str(ROOT / "experiments/debug/synth_smoke_3d.yaml"),
