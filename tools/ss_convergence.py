@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""SS convergence experiment: teacher pretrain -> frozen-teacher SS loop,
+student MPJPE curve vs the pseudo-GT floor (VERDICT r3 next #4; judged
+config 4's convergence evidence — SURVEY §3.2/3.3).
+
+    python tools/ss_convergence.py                         # chip scale
+    python tools/ss_convergence.py --preset ci             # CI scale
+
+Phases (all on the default jax platform — the real TPU under axon):
+1. train a 2D gaussian-head teacher on the synthetic multi-view rig's
+   clean crops (GT 2D supervision — the MPII-pretrain stand-in);
+2. freeze it; measure the pseudo-GT floor (teacher -> decode -> undistort
+   -> weighted DLT vs GT world poses);
+3. run the full SS loop (make_ss_train_step) on multi-view batches and
+   evaluate student MPJPE on held-out frames every few steps.
+
+Prints a markdown curve table for docs/SS_TEACHER.md. Batches are decoded
+once and kept device-resident: the experiment demonstrates OPTIMIZATION
+behavior (student MPJPE descending toward the pseudo-GT floor); input-fed
+throughput is bench.py's job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="experiments/h36m/"
+                   "train_ss_r50_256_integral.yaml")
+    p.add_argument("--preset", choices=["chip", "ci"], default="chip")
+    p.add_argument("--frames", type=int, default=None,
+                   help="train time instants (x4 views each)")
+    p.add_argument("--val-frames", type=int, default=None)
+    p.add_argument("--groups", type=int, default=None,
+                   help="multi-view groups per SS batch")
+    p.add_argument("--teacher-steps", type=int, default=None)
+    p.add_argument("--ss-steps", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None)
+    return p.parse_args()
+
+
+_PRESETS = {
+    # r50 @ 256^2, depth 64: the judged SS config's architecture
+    "chip": dict(frames=64, val_frames=16, groups=16, teacher_steps=600,
+                 ss_steps=240, eval_every=30),
+    # r18 @ 64^2, depth 4: seconds on an 8-device CPU mesh (CI pin)
+    "ci": dict(frames=12, val_frames=6, groups=4, teacher_steps=150,
+               ss_steps=48, eval_every=8),
+}
+
+
+def make_teacher_cfg(cfg):
+    """2D gaussian-head view of the same geometry (MPII-pretrain twin)."""
+    t = copy.deepcopy(cfg)
+    t.MODEL.NAME = "pose_resnet"
+    t.MODEL.EXTRA.TARGET_TYPE = "gaussian"
+    t.MODEL.EXTRA.DEPTH_DIM = 1
+    t.LOSS.TYPE = "JointsMSELoss"
+    t.TRAIN.LR = 0.003
+    if int(t.MODEL.EXTRA.HEATMAP_SIZE[0]) <= 16:
+        t.MODEL.EXTRA.SIGMA = 1.0        # tight blob on tiny heatmaps
+    return t
+
+
+def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
+        eval_every, log=print):
+    import jax
+    import jax.numpy as jnp
+    from epipolarpose_tpu.core import (create_train_state, make_eval_step,
+                                       make_train_step, validate)
+    from epipolarpose_tpu.core.self_supervised import (
+        Teacher, generate_pseudo_gt, make_ss_train_step, teacher_detect)
+    from epipolarpose_tpu.core.steps import normalize_images
+    from epipolarpose_tpu.data import SyntheticMultiviewDataset
+    from epipolarpose_tpu.models import get_model
+
+    image_shape = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    ds = SyntheticMultiviewDataset(cfg, num_frames=frames, is_train=True,
+                                   image_shape=image_shape, seed=0)
+    ds_val = SyntheticMultiviewDataset(cfg, num_frames=val_frames,
+                                       is_train=False,
+                                       image_shape=image_shape, seed=1)
+
+    # ---- phase 1: teacher pretrain on clean single-view crops (GT 2D)
+    tcfg = make_teacher_cfg(cfg)
+    tmodel = get_model(tcfg)
+    tstate = create_train_state(tcfg, tmodel, jax.random.PRNGKey(2), 100)
+    tstep = make_train_step(tcfg, tmodel, donate=False)
+    tb = 16
+    tbatches = [jax.device_put(b) for b in
+                ds.batches(tb, seed=0, shuffle=True, drop_last=True)]
+    t0 = time.time()
+    for s in range(teacher_steps):
+        tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
+    acc = float(tm["acc"])
+    log(f"teacher: {teacher_steps} steps, final train acc {acc:.3f} "
+        f"({time.time() - t0:.0f}s)")
+    teacher = Teacher(tmodel, tstate.params, tstate.batch_stats)
+
+    # ---- phase 2: pseudo-GT floor (teacher detections -> DLT vs GT world)
+    J = int(cfg.MODEL.NUM_JOINTS)
+    n_floor = min(len(ds.view_groups), 16)
+    batch0 = next(ds.view_batches(n_floor, shuffle=False))
+    G, V = batch0["input"].shape[:2]
+    flat = lambda x: x.reshape((G * V,) + x.shape[2:])
+    imgs = normalize_images(jnp.asarray(flat(batch0["input"])))
+    j_src, conf = teacher_detect(cfg, teacher, imgs,
+                                 flat(batch0["center"]),
+                                 flat(batch0["scale"]))
+    det = np.asarray(j_src).reshape(G, V, J, 2)
+    conf = np.asarray(conf).reshape(G, V, J)
+    X_w, _ = generate_pseudo_gt(cfg, jnp.asarray(det), jnp.asarray(conf),
+                                batch0["camera"])
+    gt_w = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
+                     for t in range(G)])
+    floor = float(np.linalg.norm(np.asarray(X_w) - gt_w, axis=-1).mean())
+    log(f"pseudo-GT floor (teacher->DLT vs GT): {floor:.1f} mm "
+        f"(teacher conf {conf.mean():.2f})")
+
+    # ---- phase 3: SS loop, eval MPJPE curve on held-out frames
+    model = get_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               max(len(ds.view_groups) // groups, 1))
+    # student starts from the teacher's backbone (reference 2D->3D merge)
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v)
+            elif getattr(v, "shape", None) == getattr(dst[k], "shape", ()):
+                out[k] = v
+        return out
+    state = state.replace(
+        params=merge(state.params, tstate.params),
+        batch_stats=merge(state.batch_stats, tstate.batch_stats))
+
+    sstep = make_ss_train_step(cfg, model, teacher, donate=False)
+    estep = make_eval_step(cfg, model, flip_pairs=ds_val.flip_pairs)
+    ss_batches = []
+    for b in ds.view_batches(groups, seed=3, shuffle=True):
+        b.pop("joints_3d", None)
+        ss_batches.append(jax.device_put(b))
+    val_batches = [jax.device_put(b) for b in
+                   ds_val.batches(8, seed=0, shuffle=False)]
+
+    def eval_mpjpe(state):
+        _, perf = validate(cfg, iter(val_batches), ds_val, state, estep)
+        return float(perf)
+
+    curve = [(0, eval_mpjpe(state))]
+    log(f"step 0: student MPJPE {curve[-1][1]:.1f} mm")
+    t0 = time.time()
+    for s in range(1, ss_steps + 1):
+        state, m = sstep(state, ss_batches[(s - 1) % len(ss_batches)])
+        if s % eval_every == 0 or s == ss_steps:
+            curve.append((s, eval_mpjpe(state)))
+            log(f"step {s}: student MPJPE {curve[-1][1]:.1f} mm "
+                f"(loss {float(m['loss']):.3f})")
+    log(f"SS: {ss_steps} steps in {time.time() - t0:.0f}s")
+
+    log("")
+    log("| SS step | student MPJPE (mm) |")
+    log("|---|---|")
+    for s, v in curve:
+        log(f"| {s} | {v:.1f} |")
+    log(f"| pseudo-GT floor | {floor:.1f} |")
+    return curve, floor
+
+
+def main():
+    args = parse_args()
+    from epipolarpose_tpu.config import config, update_config
+    update_config(args.cfg)
+    preset = dict(_PRESETS[args.preset])
+    for k in preset:
+        v = getattr(args, k if k != "val_frames" else "val_frames")
+        if v is not None:
+            preset[k] = v
+    if args.preset == "ci":
+        config.MODEL.EXTRA.NUM_LAYERS = 18
+        config.MODEL.IMAGE_SIZE = [64, 64]
+        config.MODEL.EXTRA.HEATMAP_SIZE = [16, 16]
+        config.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
+        config.MODEL.EXTRA.DEPTH_DIM = 4
+        config.TPU.COMPUTE_DTYPE = "float32"
+    import jax
+    print(f"devices: {jax.devices()}")
+    run(config, **preset)
+
+
+if __name__ == "__main__":
+    main()
