@@ -168,6 +168,12 @@ def _default_config() -> ConfigDict:
     # length when SS_BONE_LENGTH_MM > 0, else unit (0,1)-baseline
     c.TPU.SS_CAMERAS = "given"
     c.TPU.SS_BONE_LENGTH_MM = 0.0
+    # teacher-crop resolution multiplier for the dual-crop SS path: the
+    # frozen teacher only feeds a heatmap argmax, so its clean crop can
+    # shrink (0.5 -> 4x fewer warp pixels + h2d bytes for that half of the
+    # batch). Pseudo-GT precision cost vs savings measured in
+    # docs/PROFILE_r4.md; 1.0 = reference-equivalent full-res crops
+    c.TPU.SS_TEACHER_SCALE = 1.0
     # C++ fused decode+warp batch path: True / False / "auto" (one-shot
     # per-host calibration picks the measured-fastest path)
     c.TPU.NATIVE_LOADER = "auto"

@@ -103,9 +103,14 @@ def teacher_detect(cfg, teacher: Teacher, imgs, centers, scales):
 
     imgs: (B, H, W, 3) normalized crops; centers/scales: (B, 2).
     Returns (joints_src (B, J, 2), conf (B, J)).
+
+    Heatmap dims come from the teacher's OUTPUT, not the config: the
+    fully-convolutional teacher may run on reduced-resolution crops
+    (TPU.SS_TEACHER_SCALE) and transform_preds maps whatever grid it
+    produced back into the source frame via center/scale.
     """
-    hm_w, hm_h = (int(v) for v in cfg.MODEL.EXTRA.HEATMAP_SIZE)
     hm = teacher(imgs)
+    hm_h, hm_w = int(hm.shape[-3]), int(hm.shape[-2])
     preds, maxvals = get_max_preds(hm)
     preds = post_process_preds(hm, preds)
     joints_src = transform_preds(preds, centers, scales, (hm_w, hm_h))
@@ -160,8 +165,17 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         centers = flat(batch["center"])
         scales = flat(batch["scale"])
 
-        # 1) frozen teacher -> source-space 2D detections
-        if detect_fn is not None:
+        # 1) frozen teacher -> source-space 2D detections. Precomputed
+        # detections may instead ride in the batch (det_src (G, V, J, 2)
+        # source px + optional det_conf): the reference's OFFLINE
+        # pseudo-GT route (detections generated once, e.g. by
+        # scripts/generate_pseudo_gt.py) — and it isolates the geometry
+        # path from the teacher in experiments
+        if "det_src" in batch:
+            joints_src = flat(batch["det_src"])
+            conf = flat(batch["det_conf"]) if "det_conf" in batch else \
+                jnp.ones(joints_src.shape[:-1], joints_src.dtype)
+        elif detect_fn is not None:
             joints_src, conf = detect_fn(imgs, centers, scales)
         else:
             joints_src, conf = teacher_detect(cfg, teacher, imgs, centers,

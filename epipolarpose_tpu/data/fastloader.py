@@ -78,6 +78,17 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.decode_warp2_sized_batch_u8.restype = ctypes.c_int
+        lib.decode_warp2_sized_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return lib
 
@@ -134,26 +145,30 @@ def decode_warp_batch(jpeg_buffers: list[bytes], Ms: np.ndarray,
 
 
 def decode_warp2_batch(jpeg_buffers: list[bytes], Ms1: np.ndarray,
-                       Ms2: np.ndarray, output_size: tuple[int, int]):
+                       Ms2: np.ndarray, output_size: tuple[int, int],
+                       output_size1: tuple[int, int] | None = None):
     """Decode each JPEG once, warp through TWO affines -> two uint8 crops.
 
     The self-supervised dual-crop path: clean teacher crop (Ms1) +
-    augmented student crop (Ms2) share one decode. Returns (crops1, crops2)
-    each (N, H, W, 3) uint8.
+    augmented student crop (Ms2) share one decode. Returns (crops1, crops2),
+    (N, H, W, 3) uint8 each. ``output_size1`` overrides crop 1's size (the
+    half-res teacher crop: Ms1 must already map into that smaller frame).
     """
     lib = _load()
     n = len(jpeg_buffers)
-    W, H = int(output_size[0]), int(output_size[1])
+    W2, H2 = int(output_size[0]), int(output_size[1])
+    W1, H1 = (W2, H2) if output_size1 is None else \
+        (int(output_size1[0]), int(output_size1[1]))
     ptrs, sizes = _jpeg_ptrs(jpeg_buffers)
     Ms1 = np.ascontiguousarray(Ms1, np.float32).reshape(n, 6)
     Ms2 = np.ascontiguousarray(Ms2, np.float32).reshape(n, 6)
-    out1 = np.empty((n, H, W, 3), np.uint8)
-    out2 = np.empty((n, H, W, 3), np.uint8)
-    lib.decode_warp2_batch_u8(
+    out1 = np.empty((n, H1, W1, 3), np.uint8)
+    out2 = np.empty((n, H2, W2, 3), np.uint8)
+    lib.decode_warp2_sized_batch_u8(
         ptrs, sizes, n,
         Ms1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         Ms2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        W, H,
+        W1, H1, W2, H2,
         out1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out1, out2

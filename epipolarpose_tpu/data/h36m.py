@@ -161,12 +161,15 @@ class H36MDataset(JointsDataset):
                     host_shard_indices
                 gidx = host_shard_indices(gidx, process_index, process_count)
             flat = [i for g in gidx for i in self.view_groups[g]]
+            t_scale = float(getattr(self.cfg.TPU, "SS_TEACHER_SCALE", 1.0)) \
+                if augment else 1.0
             batch = None
             if augment:
                 # fused dual-crop fast path: ONE decode per frame feeds both
                 # the clean teacher crop and the augmented student crop
                 batch = self._dual_batch_native(flat, seed_clean=seed + b,
-                                                seed_aug=seed + b + 1)
+                                                seed_aug=seed + b + 1,
+                                                teacher_scale=t_scale)
             if batch is None:
                 was_train = self.is_train
                 try:
@@ -177,6 +180,8 @@ class H36MDataset(JointsDataset):
                 if augment:
                     batch.update(self._augmented_crops(flat,
                                                        seed=seed + b + 1))
+                    if t_scale != 1.0:
+                        batch = self._scale_teacher_crop(batch, t_scale)
             V = len(CAMERA_IDS)
             out = {k: v.reshape((len(gidx), V) + v.shape[1:])
                    for k, v in batch.items()}
@@ -217,14 +222,44 @@ class H36MDataset(JointsDataset):
             flips[k] = float(do_flip)
         return Ms, flips
 
-    def _dual_batch_native(self, indices, seed_clean: int, seed_aug: int):
+    def _teacher_crop_size(self, teacher_scale: float):
+        return (max(int(round(self.image_size[0] * teacher_scale)), 1),
+                max(int(round(self.image_size[1] * teacher_scale)), 1))
+
+    def _scale_teacher_crop(self, batch: dict, teacher_scale: float) -> dict:
+        """Fallback (non-native) half-res teacher crop: bilinear-resize the
+        full-res clean crop. The native path warps directly at the scaled
+        size; the difference (resample-of-warp vs direct warp, a <=0.5-px
+        pixel-center offset) is below the teacher's heatmap-argmax
+        precision. ``joints`` follow ``input`` into the scaled crop frame.
+        """
+        import cv2
+        W, H = self._teacher_crop_size(teacher_scale)
+        batch = dict(batch)
+        batch["input"] = np.stack(
+            [cv2.resize(im, (W, H), interpolation=cv2.INTER_LINEAR)
+             for im in batch["input"]])
+        if "joints" in batch:
+            # get_affine_transform maps the box to [0,W]x[0,H] in continuous
+            # coords, so the scaled-crop affine is exactly s * M1
+            j = batch["joints"].copy()
+            j[..., :2] *= np.float32(teacher_scale)
+            batch["joints"] = j
+        return batch
+
+    def _dual_batch_native(self, indices, seed_clean: int, seed_aug: int,
+                           teacher_scale: float = 1.0):
         """Fused dual-crop batch: decode each frame ONCE, warp twice.
 
         Produces the full multi-view batch (clean teacher crop as ``input``
         + augmented student crop as ``input_aug``) through one
         decode_warp2 native call — halves the dominant host decode cost vs
-        get_batch + _augmented_crops. Returns None when the native loader
-        is unavailable/ineligible (callers fall back to the two-pass path).
+        get_batch + _augmented_crops. ``teacher_scale`` < 1 warps the clean
+        crop at a reduced size (TPU.SS_TEACHER_SCALE — the teacher only
+        feeds a heatmap argmax; measured in docs/PROFILE_r4.md); ``joints``
+        are then in the scaled crop frame. Returns None when the native
+        loader is unavailable/ineligible (callers fall back to the two-pass
+        path).
         """
         if not self._use_native(indices, seed_clean):
             return None
@@ -239,12 +274,14 @@ class H36MDataset(JointsDataset):
         joints = np.stack([r.joints for r in recs]).astype(np.float32)
         vis = np.stack([r.joints_vis for r in recs]).astype(np.float32)
         n = len(recs)
+        t_size = self.image_size if teacher_scale == 1.0 else \
+            self._teacher_crop_size(teacher_scale)
         M1 = A.get_affine_transform_np(centers, scales,
                                        np.zeros(n, np.float32),
-                                       self.image_size)
+                                       t_size)
         M2, flips = self._aug_affines(indices, seed_aug)
         crops, crops_aug = fastloader.decode_warp2_batch(
-            bufs, M1, M2, self.image_size)
+            bufs, M1, M2, self.image_size, output_size1=t_size)
         joints_crop = np.einsum("nij,nkj->nki", M1[:, :, :2], joints) \
             + M1[:, None, :, 2]
         batch = dict(input=crops, joints=joints_crop.astype(np.float32),

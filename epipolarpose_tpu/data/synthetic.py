@@ -267,6 +267,8 @@ SyntheticMultiviewDataset.view_batches = _H36M.view_batches
 SyntheticMultiviewDataset._augmented_crops = _H36M._augmented_crops
 SyntheticMultiviewDataset._aug_affines = _H36M._aug_affines
 SyntheticMultiviewDataset._dual_batch_native = _H36M._dual_batch_native
+SyntheticMultiviewDataset._teacher_crop_size = _H36M._teacher_crop_size
+SyntheticMultiviewDataset._scale_teacher_crop = _H36M._scale_teacher_crop
 SyntheticMultiviewDataset._preds_to_camera_mm = _H36M._preds_to_camera_mm
 SyntheticMultiviewDataset.pss_centers = _H36M.pss_centers
 

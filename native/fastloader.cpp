@@ -261,10 +261,14 @@ int decode_warp_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
 // needs a clean teacher crop (Ms1) AND an augmented student crop (Ms2) of
 // the same frame — sharing the decode halves the dominant host cost.
 // DCT-scaling uses the LESS aggressive of the two affines' shrink factors
-// so both crops keep full-decode quality parity.
-int decode_warp2_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
-                          const float* Ms1, const float* Ms2,
-                          int dw, int dh, uint8_t* out1, uint8_t* out2) {
+// so both crops keep full-decode quality parity. The two crops may have
+// different output sizes (half-res teacher crop: the teacher only feeds a
+// heatmap argmax, so its crop can shrink — 4x fewer warp pixels and
+// host->device bytes for that half of the batch).
+int decode_warp2_sized_batch_u8(const uint8_t** jpegs, const size_t* sizes,
+                                int n, const float* Ms1, const float* Ms2,
+                                int dw1, int dh1, int dw2, int dh2,
+                                uint8_t* out1, uint8_t* out2) {
     int failures = 0;
 #pragma omp parallel for schedule(dynamic) reduction(+ : failures)
     for (int i = 0; i < n; ++i) {
@@ -275,12 +279,12 @@ int decode_warp2_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
         invert_affine(Ms2 + static_cast<size_t>(i) * 6, inv2);
         const int snum = std::max(pick_scale_num(inv1),
                                   pick_scale_num(inv2));
-        uint8_t* o1 = out1 + static_cast<size_t>(i) * dh * dw * 3;
-        uint8_t* o2 = out2 + static_cast<size_t>(i) * dh * dw * 3;
+        uint8_t* o1 = out1 + static_cast<size_t>(i) * dh1 * dw1 * 3;
+        uint8_t* o2 = out2 + static_cast<size_t>(i) * dh2 * dw2 * 3;
         if (decode_one(jpegs[i], sizes[i], img, w, h, snum,
                        &full_w, &full_h) != 0) {
-            std::memset(o1, 0, static_cast<size_t>(dh) * dw * 3);
-            std::memset(o2, 0, static_cast<size_t>(dh) * dw * 3);
+            std::memset(o1, 0, static_cast<size_t>(dh1) * dw1 * 3);
+            std::memset(o2, 0, static_cast<size_t>(dh2) * dw2 * 3);
             failures += 1;
             continue;
         }
@@ -294,10 +298,17 @@ int decode_warp2_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
                 inv[5] = inv[5] * ry + 0.5 * ry - 0.5;
             }
         }
-        warp_one_inv(img.data(), w, h, inv1, o1, dw, dh, 1.0f);
-        warp_one_inv(img.data(), w, h, inv2, o2, dw, dh, 1.0f);
+        warp_one_inv(img.data(), w, h, inv1, o1, dw1, dh1, 1.0f);
+        warp_one_inv(img.data(), w, h, inv2, o2, dw2, dh2, 1.0f);
     }
     return failures;
+}
+
+int decode_warp2_batch_u8(const uint8_t** jpegs, const size_t* sizes, int n,
+                          const float* Ms1, const float* Ms2,
+                          int dw, int dh, uint8_t* out1, uint8_t* out2) {
+    return decode_warp2_sized_batch_u8(jpegs, sizes, n, Ms1, Ms2,
+                                       dw, dh, dw, dh, out1, out2);
 }
 
 // Batch warp of pre-decoded uint8 RGB images (all same size).

@@ -50,17 +50,24 @@ def main():
         config.WORKERS = args.workers
     if args.epochs is not None:
         config.TRAIN.END_EPOCH = args.epochs
-    if args.synthetic and not config.DATASET.DATASET.startswith("synthetic"):
-        # SS configs need the multi-view rig; fully-supervised INTEGRAL
-        # configs get it too — its records carry GT camera-frame 3D, so
-        # depth is genuinely supervised and evaluate() runs the full
-        # MPJPE protocol (the single-view synthetic set is 2D-only:
-        # z would train against zero-weighted targets and eval as PCKh)
-        config.DATASET.DATASET = (
-            "synthetic_multiview"
-            if (config.DATASET.LABEL_SOURCE == "triangulated"
-                or str(config.MODEL.EXTRA.get("TARGET_TYPE")) == "integral")
-            else "synthetic")
+    if args.synthetic:
+        if config.DATASET.LABEL_SOURCE == "triangulated":
+            # SS training REQUIRES the multi-view rig (view_batches):
+            # override even an explicitly-declared single-view synthetic
+            # set (a 'DATASET: synthetic' SS debug config crashed here
+            # before — caught in r4 verification)
+            config.DATASET.DATASET = "synthetic_multiview"
+        elif not config.DATASET.DATASET.startswith("synthetic"):
+            # fully-supervised INTEGRAL configs get the rig too — its
+            # records carry GT camera-frame 3D, so depth is genuinely
+            # supervised and evaluate() runs the full MPJPE protocol (the
+            # single-view synthetic set is 2D-only: z would train against
+            # zero-weighted targets and eval as PCKh). Explicitly-
+            # synthetic debug configs keep their declared dataset.
+            config.DATASET.DATASET = (
+                "synthetic_multiview"
+                if str(config.MODEL.EXTRA.get("TARGET_TYPE")) == "integral"
+                else "synthetic")
 
     if args.distributed:
         # pod-scale data parallelism (SURVEY §2.C): per-host processes join

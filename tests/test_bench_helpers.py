@@ -28,12 +28,18 @@ def test_steady_state_rate_warms_one_super_and_counts_the_rest():
     supers = [{"input": np.zeros((K, bs, 2), np.uint8)}
               for _ in range(n_supers)]
     calls = []
-    rate, seen = bench._steady_state_rate(
+    rate, seen, window = bench._steady_state_rate(
         iter(supers), _fake_fused(calls), state=None, imgs_per_step=bs)
     # all supers consumed, but only the post-warmup ones counted
     assert len(calls) == n_supers
     assert seen == (n_supers - 1) * K * bs
     assert rate > 0
+    # in-window instrumentation (VERDICT r3 weak #3): every timed super
+    # leaves a pull-wait sample + the dispatch/drain split in the record
+    assert window["supers"] == n_supers - 1
+    for key in ("input_wait_s", "max_wait_s", "waits_over_50ms",
+                "dispatch_s", "drain_s", "window_s"):
+        assert key in window, key
 
 
 def test_steady_state_rate_handles_ragged_tail_super():
@@ -41,7 +47,7 @@ def test_steady_state_rate_handles_ragged_tail_super():
     supers = [{"input": np.zeros((4, 8, 2), np.uint8)},
               {"input": np.zeros((4, 8, 2), np.uint8)},
               {"input": np.zeros((2, 8, 2), np.uint8)}]
-    rate, seen = bench._steady_state_rate(
+    rate, seen, _ = bench._steady_state_rate(
         iter(supers), _fake_fused([]), state=None, imgs_per_step=8)
     assert seen == 4 * 8 + 2 * 8
 

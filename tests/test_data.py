@@ -249,6 +249,55 @@ def test_h36m_dual_crop_native_matches_two_pass(tmp_path):
         cfg.TPU.NATIVE_LOADER = "auto"
 
 
+def test_dual_crop_teacher_scale(tmp_path):
+    """TPU.SS_TEACHER_SCALE=0.5: the clean teacher crop comes out at half
+    resolution (joints following it into the scaled frame), the augmented
+    student crop is bit-identical to the scale-1 run, and the native path
+    agrees with the resize fallback."""
+    import cv2
+    from epipolarpose_tpu.data import fastloader
+    from epipolarpose_tpu.data.h36m import H36MDataset
+    from epipolarpose_tpu.data.synthetic import write_synthetic_h36m
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.DATASET.SUBSAMPLE = 1
+    write_synthetic_h36m(str(tmp_path), cfg, num_frames=3)
+    import epipolarpose_tpu.data.h36m as h36m_mod
+    orig = h36m_mod.CAMERA_IDS
+    h36m_mod.CAMERA_IDS = ("0", "1", "2", "3")
+    W, H = (int(v) for v in cfg.MODEL.IMAGE_SIZE)
+    try:
+        ds = H36MDataset(cfg, str(tmp_path), "train", is_train=True)
+        cfg.TPU.NATIVE_LOADER = False
+        full = next(ds.view_batches(2, shuffle=False, augment=True))
+        cfg.TPU.SS_TEACHER_SCALE = 0.5
+        half_fb = next(ds.view_batches(2, shuffle=False, augment=True))
+        assert half_fb["input"].shape[2:] == (H // 2, W // 2, 3)
+        assert half_fb["input_aug"].shape[2:] == (H, W, 3)
+        np.testing.assert_array_equal(half_fb["input_aug"],
+                                      full["input_aug"])
+        np.testing.assert_allclose(half_fb["joints"][..., :2],
+                                   full["joints"][..., :2] * 0.5, atol=1e-4)
+        if fastloader.available():
+            cfg.TPU.NATIVE_LOADER = True
+            half_nat = next(ds.view_batches(2, shuffle=False, augment=True))
+            assert half_nat["input"].shape == half_fb["input"].shape
+            np.testing.assert_allclose(half_nat["joints"],
+                                       half_fb["joints"], atol=1e-4)
+            # direct half-res warp vs resize-of-full-res-warp: same image
+            # up to resampling (sub-pixel-convention) differences
+            ref = np.stack([cv2.resize(im, (W // 2, H // 2),
+                                       interpolation=cv2.INTER_LINEAR)
+                            for im in full["input"].reshape(-1, H, W, 3)])
+            d = np.abs(half_nat["input"].reshape(ref.shape)
+                       .astype(np.int16) - ref.astype(np.int16))
+            assert np.median(d) < 3.0
+    finally:
+        h36m_mod.CAMERA_IDS = orig
+        cfg.TPU.NATIVE_LOADER = "auto"
+        cfg.TPU.SS_TEACHER_SCALE = 1.0
+
+
 def test_host_shard_indices_partition():
     """Pod DP slicing: per-host slices are disjoint, contiguous, ordered,
     and their union is the global batch."""

@@ -73,7 +73,23 @@ def make_teacher_cfg(cfg):
 
 
 def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
-        eval_every, log=print):
+        eval_every, log=print, detector="teacher", noise_px=2.0,
+        merge_backbone=True, eval_on="val"):
+    """``detector='teacher'``: the chip experiment — pretrain a real 2D
+    teacher, freeze it, SS loop through it. ``detector='gt_noise'``: skip
+    the teacher; noisy GT detections ride in the batch (``det_src`` — the
+    offline-detections route) so the pin isolates the SS optimization +
+    geometry path at CI scale, where an affordable teacher's pseudo-GT
+    floor sits ABOVE the warm-started student (measured r4: floor 549 mm
+    vs start 531 — nothing to descend to; the chip-scale teacher has no
+    such problem). ``merge_backbone=False`` starts the student from
+    random init instead of the teacher/2D backbone. ``eval_on='train'``
+    evaluates the curve on the TRAINING poses (clean crops, full
+    validate() protocol): at CI scale a handful of synthetic frames
+    cannot support held-out generalization (measured r4: train loss
+    descends while 6 held-out frames' MPJPE climbs), so the fast pin
+    asserts optimization-toward-the-floor; generalization is the chip
+    experiment's job (eval_on='val', 64 train / 16 held-out frames)."""
     import jax
     import jax.numpy as jnp
     from epipolarpose_tpu.core import (create_train_state, make_eval_step,
@@ -87,70 +103,91 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
     image_shape = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
     ds = SyntheticMultiviewDataset(cfg, num_frames=frames, is_train=True,
                                    image_shape=image_shape, seed=0)
-    ds_val = SyntheticMultiviewDataset(cfg, num_frames=val_frames,
-                                       is_train=False,
-                                       image_shape=image_shape, seed=1)
-
-    # ---- phase 1: teacher pretrain on clean single-view crops (GT 2D)
-    tcfg = make_teacher_cfg(cfg)
-    tmodel = get_model(tcfg)
-    tstate = create_train_state(tcfg, tmodel, jax.random.PRNGKey(2), 100)
-    tstep = make_train_step(tcfg, tmodel, donate=False)
-    tb = 16
-    tbatches = [jax.device_put(b) for b in
-                ds.batches(tb, seed=0, shuffle=True, drop_last=True)]
-    t0 = time.time()
-    for s in range(teacher_steps):
-        tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
-    acc = float(tm["acc"])
-    log(f"teacher: {teacher_steps} steps, final train acc {acc:.3f} "
-        f"({time.time() - t0:.0f}s)")
-    teacher = Teacher(tmodel, tstate.params, tstate.batch_stats)
-
-    # ---- phase 2: pseudo-GT floor (teacher detections -> DLT vs GT world)
+    ds_val = SyntheticMultiviewDataset(
+        cfg, num_frames=frames if eval_on == "train" else val_frames,
+        is_train=False, image_shape=image_shape,
+        seed=0 if eval_on == "train" else 1)
     J = int(cfg.MODEL.NUM_JOINTS)
+    rng = np.random.default_rng(11)
+
+    def noisy_det(indices):
+        """Source-space GT 2D + pixel noise for a flat index array."""
+        det = np.stack([ds.records[i].joints[:, :2] for i in indices])
+        det = det + rng.normal(0.0, noise_px, det.shape)
+        return det.astype(np.float32)
+
+    teacher = tstate = None
+    if detector == "teacher":
+        # ---- phase 1: teacher pretrain on clean single-view crops (GT 2D)
+        tcfg = make_teacher_cfg(cfg)
+        tmodel = get_model(tcfg)
+        tstate = create_train_state(tcfg, tmodel, jax.random.PRNGKey(2),
+                                    100)
+        tstep = make_train_step(tcfg, tmodel, donate=False)
+        tb = 16
+        tbatches = [jax.device_put(b) for b in
+                    ds.batches(tb, seed=0, shuffle=True, drop_last=True)]
+        t0 = time.time()
+        for s in range(teacher_steps):
+            tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
+        acc = float(tm["acc"])
+        log(f"teacher: {teacher_steps} steps, final train acc {acc:.3f} "
+            f"({time.time() - t0:.0f}s)")
+        teacher = Teacher(tmodel, tstate.params, tstate.batch_stats)
+
+    # ---- phase 2: pseudo-GT floor (detections -> DLT vs GT world)
     n_floor = min(len(ds.view_groups), 16)
     batch0 = next(ds.view_batches(n_floor, shuffle=False))
     G, V = batch0["input"].shape[:2]
     flat = lambda x: x.reshape((G * V,) + x.shape[2:])
-    imgs = normalize_images(jnp.asarray(flat(batch0["input"])))
-    j_src, conf = teacher_detect(cfg, teacher, imgs,
-                                 flat(batch0["center"]),
-                                 flat(batch0["scale"]))
-    det = np.asarray(j_src).reshape(G, V, J, 2)
-    conf = np.asarray(conf).reshape(G, V, J)
+    if detector == "teacher":
+        imgs = normalize_images(jnp.asarray(flat(batch0["input"])))
+        j_src, conf = teacher_detect(cfg, teacher, imgs,
+                                     flat(batch0["center"]),
+                                     flat(batch0["scale"]))
+        det = np.asarray(j_src).reshape(G, V, J, 2)
+        conf = np.asarray(conf).reshape(G, V, J)
+    else:
+        det = noisy_det(flat(batch0["index"])).reshape(G, V, J, 2)
+        conf = np.ones((G, V, J), np.float32)
     X_w, _ = generate_pseudo_gt(cfg, jnp.asarray(det), jnp.asarray(conf),
                                 batch0["camera"])
     gt_w = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
                      for t in range(G)])
     floor = float(np.linalg.norm(np.asarray(X_w) - gt_w, axis=-1).mean())
-    log(f"pseudo-GT floor (teacher->DLT vs GT): {floor:.1f} mm "
-        f"(teacher conf {conf.mean():.2f})")
+    log(f"pseudo-GT floor ({detector}->DLT vs GT): {floor:.1f} mm "
+        f"(conf {conf.mean():.2f})")
 
     # ---- phase 3: SS loop, eval MPJPE curve on held-out frames
     model = get_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                max(len(ds.view_groups) // groups, 1))
-    # student starts from the teacher's backbone (reference 2D->3D merge)
-    def merge(dst, src):
-        out = dict(dst)
-        for k, v in src.items():
-            if k not in dst:
-                continue
-            if isinstance(v, dict):
-                out[k] = merge(dst[k], v)
-            elif getattr(v, "shape", None) == getattr(dst[k], "shape", ()):
-                out[k] = v
-        return out
-    state = state.replace(
-        params=merge(state.params, tstate.params),
-        batch_stats=merge(state.batch_stats, tstate.batch_stats))
+    if merge_backbone and tstate is not None:
+        # student starts from the teacher's backbone (ref 2D->3D merge)
+        def merge(dst, src):
+            out = dict(dst)
+            for k, v in src.items():
+                if k not in dst:
+                    continue
+                if isinstance(v, dict):
+                    out[k] = merge(dst[k], v)
+                elif getattr(v, "shape", None) == getattr(dst[k],
+                                                          "shape", ()):
+                    out[k] = v
+            return out
+        state = state.replace(
+            params=merge(state.params, tstate.params),
+            batch_stats=merge(state.batch_stats, tstate.batch_stats))
 
     sstep = make_ss_train_step(cfg, model, teacher, donate=False)
     estep = make_eval_step(cfg, model, flip_pairs=ds_val.flip_pairs)
     ss_batches = []
     for b in ds.view_batches(groups, seed=3, shuffle=True):
         b.pop("joints_3d", None)
+        if detector == "gt_noise":
+            idx = b["index"].reshape(-1)
+            g, v = b["index"].shape[:2]
+            b["det_src"] = noisy_det(idx).reshape(g, v, J, 2)
         ss_batches.append(jax.device_put(b))
     val_batches = [jax.device_put(b) for b in
                    ds_val.batches(8, seed=0, shuffle=False)]
@@ -160,14 +197,16 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         return float(perf)
 
     curve = [(0, eval_mpjpe(state))]
+    losses = []
     log(f"step 0: student MPJPE {curve[-1][1]:.1f} mm")
     t0 = time.time()
     for s in range(1, ss_steps + 1):
         state, m = sstep(state, ss_batches[(s - 1) % len(ss_batches)])
         if s % eval_every == 0 or s == ss_steps:
             curve.append((s, eval_mpjpe(state)))
+            losses.append((s, float(m["loss"])))
             log(f"step {s}: student MPJPE {curve[-1][1]:.1f} mm "
-                f"(loss {float(m['loss']):.3f})")
+                f"(loss {losses[-1][1]:.3f})")
     log(f"SS: {ss_steps} steps in {time.time() - t0:.0f}s")
 
     log("")
@@ -176,7 +215,7 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
     for s, v in curve:
         log(f"| {s} | {v:.1f} |")
     log(f"| pseudo-GT floor | {floor:.1f} |")
-    return curve, floor
+    return curve, floor, losses
 
 
 def main():
