@@ -114,7 +114,9 @@ def teacher_detect(cfg, teacher: Teacher, imgs, centers, scales):
     preds, maxvals = get_max_preds(hm)
     preds = post_process_preds(hm, preds)
     joints_src = transform_preds(preds, centers, scales, (hm_w, hm_h))
-    return joints_src, maxvals
+    # f32 regardless of TPU.COMPUTE_DTYPE: conf feeds DLT weights and host
+    # reporting (ml_dtypes bf16 scalars don't even support ':.2f').
+    return joints_src.astype(jnp.float32), maxvals.astype(jnp.float32)
 
 
 def generate_pseudo_gt(cfg, detections, conf, cameras):

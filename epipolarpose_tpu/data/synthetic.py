@@ -31,14 +31,24 @@ def _render_blobs(joints, shape, num_joints, blob_sigma=4.0):
     Channel weights depend on joint id so joints are distinguishable.
     """
     H, W = shape
-    ys = np.arange(H, dtype=np.float32)[:, None]
-    xs = np.arange(W, dtype=np.float32)[None, :]
     img = np.zeros((H, W, 3), np.float32)
+    # each blob only touches a +-4 sigma window (exact to f32 precision:
+    # exp(-8) ~ 3e-4 scales below the uint8 quantization step); full-frame
+    # evaluation made 1024^2 renders ~0.4 s each on this host
+    r = max(int(np.ceil(4.0 * blob_sigma)), 2)
     for j, (x, y) in enumerate(joints):
+        x0 = max(int(np.floor(x)) - r, 0)
+        y0 = max(int(np.floor(y)) - r, 0)
+        x1 = min(int(np.ceil(x)) + r + 1, W)
+        y1 = min(int(np.ceil(y)) + r + 1, H)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        ys = np.arange(y0, y1, dtype=np.float32)[:, None]
+        xs = np.arange(x0, x1, dtype=np.float32)[None, :]
         g = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * blob_sigma ** 2))
         w = np.array([np.cos(j * 1.3) ** 2, np.sin(j * 0.7) ** 2,
                       ((j % 4) + 1) / 4.0], np.float32)
-        img += g[..., None] * w
+        img[y0:y1, x0:x1] += g[..., None] * w
     return np.clip(img, 0, 1)
 
 
@@ -214,20 +224,32 @@ class SyntheticMultiviewDataset(JointsDataset):
         self.rig = make_rig(num_views, img_size=image_shape[0] * 4,
                             seed=seed)
         records, groups = [], []
-        from epipolarpose_tpu.geometry import project_point_radial
+        import jax
+        from epipolarpose_tpu.geometry import (project_point_radial,
+                                               world_to_camera_frame)
+        # random "skeletons": joints in a 600mm cube near the origin
+        poses_w = rng.uniform(-400, 400, (num_frames, J, 3)).astype(
+            np.float32)
+        poses_w[:, :, 2] += 900.0
+        # ONE batched projection for all (view, frame) pairs, pinned to the
+        # host CPU backend. Per-view eager jax calls here each cost a full
+        # device round-trip under the tunneled axon backend (~0.4 s x 2 x
+        # V x F measured r4: the 64-frame constructor took 14 MINUTES);
+        # this is host metadata prep, not training compute — the training
+        # path's geometry stays on-device inside the fused SS step.
+        cam_b = jax.tree.map(
+            lambda *x: np.stack(x)[:, None], *self.rig)  # leaves (V,1,...)
+        with jax.default_device(jax.devices("cpu")[0]):
+            px_all = np.asarray(project_point_radial(poses_w, cam_b)[0])
+            pc_all = np.asarray(world_to_camera_frame(poses_w, cam_b))
         for t in range(num_frames):
-            # random "skeleton": joints in a 600mm cube near the origin
-            pose_w = rng.uniform(-400, 400, (J, 3)).astype(np.float32)
-            pose_w[:, 2] += 900.0
+            pose_w = poses_w[t]
             group = []
             for v, cam in enumerate(self.rig):
-                px, depth = project_point_radial(pose_w[None], cam)
-                px = np.asarray(px)[0]
+                px = px_all[v, t]
                 center = px.mean(axis=0).astype(np.float32)
                 extent = float(np.abs(px - center).max() * 2.4 + 40)
-                from epipolarpose_tpu.geometry import world_to_camera_frame
-                pose_cam = np.asarray(world_to_camera_frame(pose_w[None],
-                                                            cam))[0]
+                pose_cam = pc_all[v, t]
                 group.append(len(records))
                 records.append(JointsRecord(
                     image=f"synthetic://{t}:{v}", center=center,

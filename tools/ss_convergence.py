@@ -50,8 +50,10 @@ def parse_args():
 
 
 _PRESETS = {
-    # r50 @ 256^2, depth 64: the judged SS config's architecture
-    "chip": dict(frames=64, val_frames=16, groups=16, teacher_steps=600,
+    # r50 @ 256^2, depth 64: the judged SS config's architecture.
+    # teacher_steps: heatmap-MSE acc on this set accelerates late (measured
+    # r4: 0.16 @600, steps are ~14 ms once compiled — train until good).
+    "chip": dict(frames=64, val_frames=16, groups=16, teacher_steps=3000,
                  ss_steps=240, eval_every=30),
     # r18 @ 64^2, depth 4: seconds on an 8-device CPU mesh (CI pin)
     "ci": dict(frames=12, val_frames=6, groups=4, teacher_steps=150,
@@ -130,6 +132,8 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         t0 = time.time()
         for s in range(teacher_steps):
             tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
+            if (s + 1) % 500 == 0:
+                log(f"  teacher step {s + 1}: acc {float(tm['acc']):.3f}")
         acc = float(tm["acc"])
         log(f"teacher: {teacher_steps} steps, final train acc {acc:.3f} "
             f"({time.time() - t0:.0f}s)")
