@@ -217,7 +217,7 @@ class SyntheticMultiviewDataset(JointsDataset):
 
     def __init__(self, cfg, num_frames: int = 16, is_train: bool = True,
                  image_shape=(256, 256), num_views: int = 4, seed: int = 0,
-                 **kwargs):
+                 pose_mode: str = "uniform", **kwargs):
         self.image_shape = image_shape
         J = int(cfg.MODEL.NUM_JOINTS)
         rng = np.random.default_rng(seed)
@@ -227,10 +227,23 @@ class SyntheticMultiviewDataset(JointsDataset):
         import jax
         from epipolarpose_tpu.geometry import (project_point_radial,
                                                world_to_camera_frame)
-        # random "skeletons": joints in a 600mm cube near the origin
-        poses_w = rng.uniform(-400, 400, (num_frames, J, 3)).astype(
-            np.float32)
-        poses_w[:, :, 2] += 900.0
+        if pose_mode == "skeleton":
+            # structured kinematic-tree skeletons (constant bone lengths,
+            # low-rank pose manifold): root-relative MONOCULAR depth is
+            # learnable, so an SS student can generalize to held-out
+            # frames. With the i.i.d.-uniform bank below, per-joint
+            # root-relative depth is unobservable from one view and
+            # held-out MPJPE floors at the depth-prior error (~290 mm
+            # measured r4) no matter how long the SS loop runs.
+            poses_w = synth_skeleton_poses(rng, num_frames, J)
+            poses_w += rng.uniform([-150.0, -150.0, 600.0],
+                                   [150.0, 150.0, 1000.0],
+                                   (num_frames, 1, 3)).astype(np.float32)
+        else:
+            # random "skeletons": joints in an 800mm cube near the origin
+            poses_w = rng.uniform(-400, 400, (num_frames, J, 3)).astype(
+                np.float32)
+            poses_w[:, :, 2] += 900.0
         # ONE batched projection for all (view, frame) pairs, pinned to the
         # host CPU backend. Per-view eager jax calls here each cost a full
         # device round-trip under the tunneled axon backend (~0.4 s x 2 x

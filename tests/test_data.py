@@ -86,6 +86,28 @@ def test_multiview_projection_consistency():
     np.testing.assert_allclose(np.asarray(px)[0], rec.joints, atol=1e-2)
 
 
+def test_multiview_skeleton_mode_structured():
+    """pose_mode='skeleton' must produce kinematic-tree poses (constant
+    bone lengths across frames) that still project in-bounds on the rig —
+    the property the chip SS-convergence experiment relies on for
+    learnable monocular depth (docs/SS_TEACHER.md)."""
+    from epipolarpose_tpu.data.synthetic import skeleton_template
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = SyntheticMultiviewDataset(cfg, num_frames=6, pose_mode="skeleton")
+    poses = np.stack([ds.records[ds.view_groups[t][0]].meta["pose_world"]
+                      for t in range(6)])
+    parents, lengths, _, _ = skeleton_template(cfg.MODEL.NUM_JOINTS)
+    bones = np.linalg.norm(poses[:, 1:] - poses[:, parents[1:]], axis=-1)
+    assert bones.std(axis=0).max() < 1e-2          # constant across frames
+    np.testing.assert_allclose(bones.mean(0), lengths[1:], atol=1e-2)
+    px = np.stack([r.joints for r in ds.records])
+    size = ds.image_shape[0] * 4
+    assert px.min() >= 0 and px.max() <= size
+    # frames differ (a real pose manifold, not one repeated pose)
+    assert np.linalg.norm(poses[0] - poses[1]) > 100.0
+
+
 def test_mpii_file_roundtrip(tmp_path):
     cfg = config
     write_synthetic_mpii(str(tmp_path), cfg, num_samples=4)

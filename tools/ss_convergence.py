@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--teacher-steps", type=int, default=None)
     p.add_argument("--ss-steps", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--pose-mode", choices=["uniform", "skeleton"],
+                   default=None, help="synthetic pose bank (default: "
+                   "preset — chip uses skeleton, ci uniform)")
     return p.parse_args()
 
 
@@ -53,11 +56,15 @@ _PRESETS = {
     # r50 @ 256^2, depth 64: the judged SS config's architecture.
     # teacher_steps: heatmap-MSE acc on this set accelerates late (measured
     # r4: 0.16 @600, steps are ~14 ms once compiled — train until good).
+    # pose_mode=skeleton: held-out generalization requires learnable
+    # monocular depth — with the i.i.d.-uniform bank, root-relative depth
+    # is unobservable from one view and held-out MPJPE floors at the
+    # depth-prior error (~290 mm measured r4) regardless of SS steps.
     "chip": dict(frames=64, val_frames=16, groups=16, teacher_steps=3000,
-                 ss_steps=240, eval_every=30),
+                 ss_steps=240, eval_every=30, pose_mode="skeleton"),
     # r18 @ 64^2, depth 4: seconds on an 8-device CPU mesh (CI pin)
     "ci": dict(frames=12, val_frames=6, groups=4, teacher_steps=150,
-               ss_steps=48, eval_every=8),
+               ss_steps=48, eval_every=8, pose_mode="uniform"),
 }
 
 
@@ -76,7 +83,7 @@ def make_teacher_cfg(cfg):
 
 def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         eval_every, log=print, detector="teacher", noise_px=2.0,
-        merge_backbone=True, eval_on="val"):
+        merge_backbone=True, eval_on="val", pose_mode="uniform"):
     """``detector='teacher'``: the chip experiment — pretrain a real 2D
     teacher, freeze it, SS loop through it. ``detector='gt_noise'``: skip
     the teacher; noisy GT detections ride in the batch (``det_src`` — the
@@ -104,11 +111,12 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
 
     image_shape = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
     ds = SyntheticMultiviewDataset(cfg, num_frames=frames, is_train=True,
-                                   image_shape=image_shape, seed=0)
+                                   image_shape=image_shape, seed=0,
+                                   pose_mode=pose_mode)
     ds_val = SyntheticMultiviewDataset(
         cfg, num_frames=frames if eval_on == "train" else val_frames,
         is_train=False, image_shape=image_shape,
-        seed=0 if eval_on == "train" else 1)
+        seed=0 if eval_on == "train" else 1, pose_mode=pose_mode)
     J = int(cfg.MODEL.NUM_JOINTS)
     rng = np.random.default_rng(11)
 
