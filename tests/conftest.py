@@ -21,8 +21,13 @@ import jax  # noqa: E402
 # CPU back on top so unit tests run on the virtual 8-device host mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compilation cache: identical HLO across tests/runs compiles once
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# persistent compilation cache: identical HLO across tests/runs compiles
+# once. Repo-local (gitignored, NOT committed: XLA:CPU AOT entries encode
+# the compile machine's feature set — loading entries from another machine
+# warns about SIGILL risk) so it survives /tmp wipes between suite runs.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache", "tests")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

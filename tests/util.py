@@ -18,7 +18,9 @@ def cpu_env(**extra) -> dict:
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}
     env.update(JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", "tests")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     env.update({k: str(v) for k, v in extra.items()})

@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--pose-mode", choices=["uniform", "skeleton"],
                    default=None, help="synthetic pose bank (default: "
                    "preset — chip uses skeleton, ci uniform)")
+    p.add_argument("--eval-on", choices=["val", "train", "both"],
+                   default=None,
+                   help="eval set: held-out frames, the training poses "
+                   "(clean crops), or both curves (decomposes the gap to "
+                   "the floor into optimization vs generalization)")
     return p.parse_args()
 
 
@@ -61,10 +66,12 @@ _PRESETS = {
     # is unobservable from one view and held-out MPJPE floors at the
     # depth-prior error (~290 mm measured r4) regardless of SS steps.
     "chip": dict(frames=64, val_frames=16, groups=16, teacher_steps=3000,
-                 ss_steps=240, eval_every=30, pose_mode="skeleton"),
+                 ss_steps=240, eval_every=30, pose_mode="skeleton",
+                 eval_on="both"),
     # r18 @ 64^2, depth 4: seconds on an 8-device CPU mesh (CI pin)
     "ci": dict(frames=12, val_frames=6, groups=4, teacher_steps=150,
-               ss_steps=48, eval_every=8, pose_mode="uniform"),
+               ss_steps=48, eval_every=8, pose_mode="uniform",
+               eval_on="train"),
 }
 
 
@@ -117,6 +124,15 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         cfg, num_frames=frames if eval_on == "train" else val_frames,
         is_train=False, image_shape=image_shape,
         seed=0 if eval_on == "train" else 1, pose_mode=pose_mode)
+    # eval_on='both': a second eval set over the TRAINING poses (clean
+    # crops, same seed-0 bank) decomposes the gap to the pseudo-GT floor —
+    # train-MPJPE gap = optimization/representation, (val − train) gap =
+    # generalization (data volume). Capped at 64 frames to bound eval cost.
+    ds_tr = None
+    if eval_on == "both":
+        ds_tr = SyntheticMultiviewDataset(
+            cfg, num_frames=min(frames, 64), is_train=False,
+            image_shape=image_shape, seed=0, pose_mode=pose_mode)
     J = int(cfg.MODEL.NUM_JOINTS)
     rng = np.random.default_rng(11)
 
@@ -203,30 +219,53 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         ss_batches.append(jax.device_put(b))
     val_batches = [jax.device_put(b) for b in
                    ds_val.batches(8, seed=0, shuffle=False)]
+    tr_batches = ([jax.device_put(b) for b in
+                   ds_tr.batches(8, seed=0, shuffle=False)]
+                  if ds_tr is not None else None)
 
-    def eval_mpjpe(state):
-        _, perf = validate(cfg, iter(val_batches), ds_val, state, estep)
+    def eval_mpjpe(state, batches, dset):
+        _, perf = validate(cfg, iter(batches), dset, state, estep)
         return float(perf)
 
-    curve = [(0, eval_mpjpe(state))]
+    def eval_point(state):
+        v = eval_mpjpe(state, val_batches, ds_val)
+        t = (eval_mpjpe(state, tr_batches, ds_tr)
+             if tr_batches is not None else None)
+        return v, t
+
+    def fmt(v, t):
+        return (f"held-out MPJPE {v:.1f} mm" if t is None else
+                f"held-out MPJPE {v:.1f} mm / train-pose {t:.1f} mm")
+
+    v0, t0_mpjpe = eval_point(state)
+    curve, curve_tr = [(0, v0)], [(0, t0_mpjpe)]
     losses = []
-    log(f"step 0: student MPJPE {curve[-1][1]:.1f} mm")
+    log(f"step 0: student {fmt(v0, t0_mpjpe)}")
     t0 = time.time()
     for s in range(1, ss_steps + 1):
         state, m = sstep(state, ss_batches[(s - 1) % len(ss_batches)])
         if s % eval_every == 0 or s == ss_steps:
-            curve.append((s, eval_mpjpe(state)))
+            v, t = eval_point(state)
+            curve.append((s, v))
+            curve_tr.append((s, t))
             losses.append((s, float(m["loss"])))
-            log(f"step {s}: student MPJPE {curve[-1][1]:.1f} mm "
+            log(f"step {s}: student {fmt(v, t)} "
                 f"(loss {losses[-1][1]:.3f})")
     log(f"SS: {ss_steps} steps in {time.time() - t0:.0f}s")
 
     log("")
-    log("| SS step | student MPJPE (mm) |")
-    log("|---|---|")
-    for s, v in curve:
-        log(f"| {s} | {v:.1f} |")
-    log(f"| pseudo-GT floor | {floor:.1f} |")
+    if tr_batches is not None:
+        log("| SS step | held-out MPJPE (mm) | train-pose MPJPE (mm) |")
+        log("|---|---|---|")
+        for (s, v), (_, t) in zip(curve, curve_tr):
+            log(f"| {s} | {v:.1f} | {t:.1f} |")
+        log(f"| pseudo-GT floor | {floor:.1f} | {floor:.1f} |")
+    else:
+        log("| SS step | student MPJPE (mm) |")
+        log("|---|---|")
+        for s, v in curve:
+            log(f"| {s} | {v:.1f} |")
+        log(f"| pseudo-GT floor | {floor:.1f} |")
     return curve, floor, losses
 
 
