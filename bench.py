@@ -438,20 +438,25 @@ def bench_ss_loop(extras):
     # could hoist them — measuring teacher+triangulation once per K steps
     # instead of every step. Perturb the input from the carried params
     # (numerically ~1e-30) so every stage runs each iteration.
+    # batch AND the teacher's variables MUST be jit arguments (see
+    # _train_throughput's note): the step wrapper's captured consts would
+    # re-bake ~100 MB under this outer jit, so trace its 3-arg inner.
+    inner, consts = step.jitted, step.const_args
+
     @jax.jit
-    def run_k(state):
+    def run_k(state, batch, consts):
         def body(st, _):
             p0 = jax.tree.leaves(st.params)[0].ravel()[0]
             b = dict(batch, input=batch["input"] + p0 * 1e-30)
-            st, m = step(st, b)
+            st, m = inner(st, b, consts)
             return st, m["loss"]
         return jax.lax.scan(body, state, None, length=K)
 
-    state, losses = run_k(state)
+    state, losses = run_k(state, batch, consts)
     _ = float(losses[-1])
     t0 = time.time()
     for _ in range(iters):
-        state, losses = run_k(state)
+        state, losses = run_k(state, batch, consts)
     _ = float(losses[-1])
     dt = (time.time() - t0) / (iters * K)
     _log_extra({

@@ -160,7 +160,7 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
     root_idx = 0
     conf_min = float(cfg.TPU.get("SS_CONF_MIN", 0.05))
 
-    def step(state, batch):
+    def step(state, batch, tvars=None):
         G, V = batch["input"].shape[:2]
         flat = lambda x: x.reshape((G * V,) + x.shape[2:])
         imgs = normalize_images(flat(batch["input"]))
@@ -180,7 +180,13 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
         elif detect_fn is not None:
             joints_src, conf = detect_fn(imgs, centers, scales)
         else:
-            joints_src, conf = teacher_detect(cfg, teacher, imgs, centers,
+            # tvars (the frozen teacher's params/batch_stats) arrive as a
+            # jit ARGUMENT via compile_step(const_args=...) — closed over,
+            # they bake ~100 MB of weights into the executable as
+            # constants (measured r5: 300 MB cache entries, the dominant
+            # cold-compile cost of every SS step)
+            t = Teacher(teacher.model, tvars[0], tvars[1])
+            joints_src, conf = teacher_detect(cfg, t, imgs, centers,
                                               scales)
         joints_src = jax.lax.stop_gradient(joints_src)
         conf = jax.lax.stop_gradient(conf)
@@ -274,8 +280,13 @@ def make_ss_train_step(cfg, model, teacher: Teacher, mesh=None,
                        "teacher_conf": conf.mean()}
 
     from epipolarpose_tpu.core.steps import compile_step
-    return compile_step(step, mesh=mesh, donate=donate,
-                        fused_steps=fused_steps)
+    if teacher is not None and detect_fn is None:
+        return compile_step(step, mesh=mesh, donate=donate,
+                            fused_steps=fused_steps,
+                            const_args=(teacher.params,
+                                        teacher.batch_stats))
+    return compile_step(lambda st, b: step(st, b), mesh=mesh,
+                        donate=donate, fused_steps=fused_steps)
 
 
 def load_refiner(cfg, checkpoint_path: str):

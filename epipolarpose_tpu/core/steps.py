@@ -42,7 +42,7 @@ def _root_relative_depth(joints_3d, root_idx: int):
 
 
 def compile_step(step, mesh=None, donate: bool = True,
-                 fused_steps: int = 1):
+                 fused_steps: int = 1, const_args=None):
     """jit a ``(state, batch) -> (state, metrics)`` step function.
 
     ``fused_steps=K > 1`` wraps the step in a ``lax.scan`` over a
@@ -52,20 +52,50 @@ def compile_step(step, mesh=None, donate: bool = True,
     costs a fixed round trip (measured ~0.6 s through a tunneled PJRT
     device, VERDICT r2 weak #1); fusing divides that tax by K. Metrics
     come back with a leading (K,) axis, one entry per inner step.
+
+    ``const_args``: an optional pytree of arrays the step needs but that
+    never changes across calls (e.g. a frozen teacher's variables). The
+    step must then take ``(state, batch, consts)``; the pytree is passed
+    as a jit ARGUMENT and partially applied here. Closing over large
+    arrays instead bakes them into the executable as constants — measured
+    r5: the frozen r50 teacher baked ~300 MB into each SS-step compile
+    cache entry and dominated its cold-compile time.
     """
     if fused_steps > 1:
         inner = step
-
-        def step(state, superbatch):          # noqa: F811
-            return jax.lax.scan(inner, state, superbatch)
+        if const_args is not None:
+            def step(state, superbatch, consts):  # noqa: F811
+                return jax.lax.scan(
+                    lambda st, b: inner(st, b, consts), state, superbatch)
+        else:
+            def step(state, superbatch):          # noqa: F811
+                return jax.lax.scan(inner, state, superbatch)
 
     donate_args = (0,) if donate else ()
     if mesh is not None:
         from epipolarpose_tpu.parallel import replicated
-        return jax.jit(step, donate_argnums=donate_args,
-                       in_shardings=(replicated(mesh), None),
-                       out_shardings=(replicated(mesh), replicated(mesh)))
-    return jax.jit(step, donate_argnums=donate_args)
+        repl = replicated(mesh)
+        in_sh = (repl, None) if const_args is None else (repl, None, repl)
+        jitted = jax.jit(step, donate_argnums=donate_args,
+                         in_shardings=in_sh,
+                         out_shardings=(repl, repl))
+    else:
+        jitted = jax.jit(step, donate_argnums=donate_args)
+    if const_args is None:
+        return jitted
+    if mesh is not None:
+        consts = jax.device_put(const_args, replicated(mesh))
+    else:
+        consts = jax.device_put(const_args)
+
+    def wrapper(state, batch):
+        return jitted(state, batch, consts)
+    # callers that re-wrap the step in an outer jit (bench loops) must
+    # pass consts as a TRACED argument of their own — calling `wrapper`
+    # under a trace would capture `consts` concrete and bake it after all
+    wrapper.jitted = jitted
+    wrapper.const_args = consts
+    return wrapper
 
 
 def make_train_step(cfg, model, mesh=None, donate: bool = True,

@@ -114,14 +114,23 @@ def _student_losses(cfg, ds, teacher, detect_fn=None, n_groups=4,
     return losses
 
 
-@pytest.mark.slow
-def test_imperfect_teacher_lands_between_extremes():
+# The teacher pretrain (150 r18@64² steps) is the dominant cost of both
+# tests below (~500 s on a 1-core CPU box) and both need the IDENTICAL
+# artifact — train it once per module (VERDICT r4 weak #3: the two tests
+# were 30% of the 52-min suite, re-training the same teacher twice).
+@pytest.fixture(scope="module")
+def shared():
     cfg = _ss_cfg()
     cfg.TPU.SS_CONF_MIN = -1.0           # ungated: score raw pseudo-GT
     ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
                                    image_shape=(64, 64))
-    tcfg = _teacher_cfg(cfg)
-    trained, acc = _train_teacher(tcfg, ds, steps=150)
+    trained, acc = _train_teacher(_teacher_cfg(cfg), ds, steps=150)
+    return cfg, ds, trained, acc
+
+
+@pytest.mark.slow
+def test_imperfect_teacher_lands_between_extremes(shared):
+    cfg, ds, trained, acc = shared
     random_t = Teacher(trained.model, *init_pose_net(
         trained.model, jax.random.PRNGKey(7), (64, 64)))
 
@@ -161,14 +170,11 @@ def test_imperfect_teacher_lands_between_extremes():
 
 
 @pytest.mark.slow
-def test_conf_gate_trades_coverage_for_quality():
+def test_conf_gate_trades_coverage_for_quality(shared):
     """SS_CONF_MIN sweep {0, 0.05, 0.2} with a trained imperfect teacher:
     raising the gate must monotonically shrink coverage and must not
     worsen the surviving pseudo-GT (table: docs/SS_TEACHER.md)."""
-    cfg = _ss_cfg()
-    ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
-                                   image_shape=(64, 64))
-    trained, _ = _train_teacher(_teacher_cfg(cfg), ds, steps=150)
+    cfg, ds, trained, _ = shared
     _, conf, err = _pseudo_gt_mpjpe(cfg, ds, trained)
     min_conf = conf.min(axis=1)                   # (G, J) gate statistic
     rows = []
