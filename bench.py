@@ -140,6 +140,11 @@ def _log_extra(rec: dict, extras: list):
     b = _store_bench(name)
     if kind == "SKIP":
         b["skipped"] = rec
+        # consecutive-skip counter: decays the stored bench_s estimate so
+        # a stale-high cost can't skip a bench FOREVER (r5: e2e carried an
+        # 805 s record from before two fixes that cut its real cost ~4x,
+        # and a skipped bench is never re-measured to correct it)
+        b["skip_count"] = b.get("skip_count", 0) + 1
     elif kind == "ERROR":
         b["error"] = rec["error"]
     else:
@@ -149,6 +154,7 @@ def _log_extra(rec: dict, extras: list):
         b["records"].append(rec)
         b.pop("skipped", None)
         b.pop("error", None)
+        b.pop("skip_count", None)
     _save_store()
 
 
@@ -897,7 +903,9 @@ _COLD_EST = {
     "bench_ss_loop": 150,
     "bench_r152_384": 320,               # judged config 5: 384^2 compile
     "bench_e2e_input_fed": 130,
-    "bench_ss_e2e_input_fed": 490,       # measured 472 s cold (r4)
+    "bench_ss_e2e_input_fed": 200,       # 169 s cold after the r5
+                                         # teacher-as-jit-argument fix
+                                         # (was 472 s with baked consts)
 }
 _HEADLINE_DEGRADED_EST = {True: 250.0, False: 40.0}   # keyed by `cold`
 
@@ -907,9 +915,14 @@ def _estimate(fn_name: str, cold: bool) -> float:
     previous measured bench_s (x1.3 headroom); cold runs trust the
     measured cold constants (a warm previous bench_s would badly
     underestimate a from-scratch compile)."""
+    b = _store_bench(fn_name)
     base = _COLD_EST.get(fn_name, 120)
-    prev = _store_bench(fn_name).get("bench_s")
-    prev_cold = _store_bench(fn_name).get("bench_cold", False)
+    prev = b.get("bench_s")
+    prev_cold = b.get("bench_cold", False)
+    if prev:
+        # each consecutive budget-skip shrinks the stored cost's influence:
+        # an outdated measurement must eventually let the bench retry
+        prev = prev * (0.7 ** b.get("skip_count", 0))
     if cold:
         return max(base, prev * 1.2) if prev and prev_cold else base
     if prev is not None and not prev_cold:
