@@ -42,8 +42,12 @@ def parse_args():
 
 
 _PRESETS = {
+    # teacher_steps=3000: the 600-step teacher (train acc 0.125) puts the
+    # pseudo-GT floor at ~500 mm of TEACHER error, swamping the few-mm
+    # half-res quantization effect this tool exists to measure (r5 run 1);
+    # ss_convergence's chip preset reaches acc 1.000 / 25 mm floor at 3000
     "chip": dict(frames=48, loader_frames=32, groups=8,
-                 teacher_steps=600, finetune_steps=150, dev_iters=6),
+                 teacher_steps=3000, finetune_steps=600, dev_iters=6),
     "ci": dict(frames=12, loader_frames=12, groups=4,
                teacher_steps=150, finetune_steps=60, dev_iters=2),
 }
@@ -120,6 +124,12 @@ def bench_quality_and_device(cfg, frames, groups, teacher_steps,
                 ds.batches(tb, seed=0, shuffle=True, drop_last=True)]
     for s in range(teacher_steps):
         tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
+        if (s + 1) % 100 == 0:
+            # bound the dispatch backlog: thousands of unfenced async
+            # dispatches stall the tunneled axon device (measured r5:
+            # 3000-step loop froze 19+ min with zero progress; fenced
+            # every 100 it completes normally)
+            _ = float(tm["acc"])
     log(f"B teacher: {teacher_steps} steps, train acc "
         f"{float(tm['acc']):.3f}")
     teacher = Teacher(tmodel, tstate.params, tstate.batch_stats)
@@ -180,7 +190,9 @@ def bench_quality_and_device(cfg, frames, groups, teacher_steps,
     ftb = [jax.device_put(b) for b in
            ds_ft.batches(tb, seed=7, shuffle=True, drop_last=True)]
     for s in range(finetune_steps):
-        ftstate, _ = ftstep(ftstate, ftb[s % len(ftb)])
+        ftstate, ftm = ftstep(ftstate, ftb[s % len(ftb)])
+        if (s + 1) % 100 == 0:
+            _ = float(ftm["acc"])        # bound the dispatch backlog
     teacher_ft = Teacher(tmodel, ftstate.params, ftstate.batch_stats)
     f_half_ft = floor(0.5, teacher_ft)
     log(f"B pseudo-GT floor: half-res after {finetune_steps}-step "
@@ -228,6 +240,8 @@ def main():
         config.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
         config.MODEL.EXTRA.DEPTH_DIM = 4
         config.TPU.COMPUTE_DTYPE = "float32"
+    from epipolarpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache("tools")
     import jax
     print(f"devices: {jax.devices()}")
     with tempfile.TemporaryDirectory() as td:

@@ -334,8 +334,8 @@ def main():
                    help="block_until_ready vs host-materialize fence A/B "
                         "(PROFILE_r3 §3)")
     args = p.parse_args()
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from epipolarpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache("tools")
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     if args.fence_check:
         fence_check()

@@ -156,8 +156,12 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         t0 = time.time()
         for s in range(teacher_steps):
             tstate, tm = tstep(tstate, tbatches[s % len(tbatches)])
-            if (s + 1) % 500 == 0:
-                log(f"  teacher step {s + 1}: acc {float(tm['acc']):.3f}")
+            if (s + 1) % 100 == 0:
+                # fence: thousands of unfenced async dispatches stall the
+                # tunneled axon device (measured r5, dualcrop run 2)
+                acc = float(tm["acc"])
+                if (s + 1) % 500 == 0:
+                    log(f"  teacher step {s + 1}: acc {acc:.3f}")
         acc = float(tm["acc"])
         log(f"teacher: {teacher_steps} steps, final train acc {acc:.3f} "
             f"({time.time() - t0:.0f}s)")
@@ -285,6 +289,8 @@ def main():
         config.MODEL.EXTRA.NUM_DECONV_FILTERS = [32, 32, 32]
         config.MODEL.EXTRA.DEPTH_DIM = 4
         config.TPU.COMPUTE_DTYPE = "float32"
+    from epipolarpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache("tools")
     import jax
     print(f"devices: {jax.devices()}")
     run(config, **preset)
