@@ -231,6 +231,27 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         _, perf = validate(cfg, iter(batches), dset, state, estep)
         return float(perf)
 
+    def axis_breakdown(state, batches, dset):
+        """Final held-out error split into image-plane (xy) and depth (z)
+        components — names the binding constraint behind the residual
+        gap to the pseudo-GT floor (monocular z vs 2D localization)."""
+        preds_all = []
+        for b in batches:
+            p = np.asarray(estep(state, b)["preds"])
+            if p.ndim == 4:
+                p = p.reshape(-1, *p.shape[2:])
+            preds_all.append(p)
+        preds = np.concatenate(preds_all)[:len(dset)]
+        recs = dset.records[:len(preds)]
+        ri = dset.root_idx
+        gts = np.stack([r.joints_3d - r.joints_3d[ri:ri + 1]
+                        for r in recs])
+        pc = dset._preds_to_camera_mm(preds, recs)
+        pc = pc - pc[:, ri:ri + 1]
+        d = pc - gts
+        return (float(np.linalg.norm(d[..., :2], axis=-1).mean()),
+                float(np.abs(d[..., 2]).mean()))
+
     def eval_point(state):
         v = eval_mpjpe(state, val_batches, ds_val)
         t = (eval_mpjpe(state, tr_batches, ds_tr)
@@ -256,6 +277,9 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
             log(f"step {s}: student {fmt(v, t)} "
                 f"(loss {losses[-1][1]:.3f})")
     log(f"SS: {ss_steps} steps in {time.time() - t0:.0f}s")
+    if eval_on != "train":
+        xy, z = axis_breakdown(state, val_batches, ds_val)
+        log(f"final held-out error split: xy {xy:.1f} mm, |z| {z:.1f} mm")
 
     log("")
     if tr_batches is not None:
