@@ -378,9 +378,11 @@ print("CPU_SINGLE_MS", float(np.median(times)) * 1e3)
            if k != "PALLAS_AXON_POOL_IPS"}
     env["JAX_PLATFORMS"] = "cpu"
     # repo-local persistent cache for the subprocess too (the ~25 s CPU
-    # compile is most of this bench's cost on a warm box)
-    env["JAX_COMPILATION_CACHE_DIR"] = str(ROOT / ".jax_cache"
-                                           / "bench_cpu")
+    # compile is most of this bench's cost on a warm box); machine-keyed:
+    # XLA:CPU AOT entries from another box can SIGILL (compile_cache.py)
+    from epipolarpose_tpu.utils.compile_cache import machine_fingerprint
+    env["JAX_COMPILATION_CACHE_DIR"] = str(
+        ROOT / ".jax_cache" / "bench_cpu" / machine_fingerprint())
     out = subprocess.run([sys.executable, "-c", code], text=True,
                          capture_output=True, env=env, cwd=str(ROOT),
                          timeout=600)

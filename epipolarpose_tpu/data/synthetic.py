@@ -29,14 +29,18 @@ def _render_blobs(joints, shape, num_joints, blob_sigma=4.0):
     """Render an (H, W, 3) float image with one Gaussian blob per joint.
 
     Channel weights depend on joint id so joints are distinguishable.
+    ``blob_sigma`` may be a scalar or a per-joint array (the multiview
+    dataset's perspective depth cue renders nearer joints larger).
     """
     H, W = shape
     img = np.zeros((H, W, 3), np.float32)
-    # each blob only touches a +-4 sigma window (exact to f32 precision:
-    # exp(-8) ~ 3e-4 scales below the uint8 quantization step); full-frame
-    # evaluation made 1024^2 renders ~0.4 s each on this host
-    r = max(int(np.ceil(4.0 * blob_sigma)), 2)
+    sig = np.broadcast_to(np.asarray(blob_sigma, np.float32),
+                          (len(joints),))
     for j, (x, y) in enumerate(joints):
+        # each blob only touches a +-4 sigma window (exact to f32
+        # precision: exp(-8) ~ 3e-4 scales below the uint8 quantization
+        # step); full-frame evaluation made 1024^2 renders ~0.4 s each
+        r = max(int(np.ceil(4.0 * sig[j])), 2)
         x0 = max(int(np.floor(x)) - r, 0)
         y0 = max(int(np.floor(y)) - r, 0)
         x1 = min(int(np.ceil(x)) + r + 1, W)
@@ -45,7 +49,7 @@ def _render_blobs(joints, shape, num_joints, blob_sigma=4.0):
             continue
         ys = np.arange(y0, y1, dtype=np.float32)[:, None]
         xs = np.arange(x0, x1, dtype=np.float32)[None, :]
-        g = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * blob_sigma ** 2))
+        g = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sig[j] ** 2))
         w = np.array([np.cos(j * 1.3) ** 2, np.sin(j * 0.7) ** 2,
                       ((j % 4) + 1) / 4.0], np.float32)
         img[y0:y1, x0:x1] += g[..., None] * w
@@ -217,8 +221,19 @@ class SyntheticMultiviewDataset(JointsDataset):
 
     def __init__(self, cfg, num_frames: int = 16, is_train: bool = True,
                  image_shape=(256, 256), num_views: int = 4, seed: int = 0,
-                 pose_mode: str = "uniform", **kwargs):
+                 pose_mode: str = "uniform", depth_cue: float = 0.0,
+                 **kwargs):
         self.image_shape = image_shape
+        # depth_cue > 0: render each joint's blob at the size a fixed
+        # metric ball would project to (sigma ∝ (f/z)^gamma, normalized
+        # to the frame's mean depth so the average appearance matches the
+        # cue-free renderer). gamma=1 is true perspective (±~13% size
+        # across a skeleton's depth spread at this rig's distance);
+        # gamma>1 amplifies the cue. 0 disables (constant sigma) — then
+        # per-joint root-relative depth is UNOBSERVABLE from one view and
+        # a monocular student's z error floors at the pose-prior error
+        # (measured r5: held-out xy 35 mm vs |z| 103 mm, SS_TEACHER.md).
+        self.depth_cue = float(depth_cue)
         J = int(cfg.MODEL.NUM_JOINTS)
         rng = np.random.default_rng(seed)
         self.rig = make_rig(num_views, img_size=image_shape[0] * 4,
@@ -252,7 +267,11 @@ class SyntheticMultiviewDataset(JointsDataset):
         # path's geometry stays on-device inside the fused SS step.
         cam_b = jax.tree.map(
             lambda *x: np.stack(x)[:, None], *self.rig)  # leaves (V,1,...)
-        with jax.default_device(jax.devices("cpu")[0]):
+        # local_devices, not devices: under jax.distributed the global
+        # device list starts with process 0's devices, and a non-zero
+        # process CANNOT fetch from them ("spans non-addressable devices"
+        # — this exact line killed pod-DP workers mid-suite in r5)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             px_all = np.asarray(project_point_radial(poses_w, cam_b)[0])
             pc_all = np.asarray(world_to_camera_frame(poses_w, cam_b))
         for t in range(num_frames):
@@ -281,8 +300,12 @@ class SyntheticMultiviewDataset(JointsDataset):
         t, v = map(int, path.split("://")[1].split(":"))
         rec = self.records[self.view_groups[t][v]]
         size = self.image_shape[0] * 4
+        sigma = float(rec.scale[0] * 200 / 40)
+        if self.depth_cue > 0:
+            z = rec.joints_3d[:, 2]            # camera-frame depth (mm)
+            sigma = sigma * (z.mean() / z) ** self.depth_cue
         img = _render_blobs(rec.joints, (size, size), len(rec.joints),
-                            blob_sigma=float(rec.scale[0] * 200 / 40))
+                            blob_sigma=sigma)
         return (img * 255).astype(np.uint8)
 
     def camera_for(self, rec: JointsRecord):

@@ -12,6 +12,7 @@ initialization + per-host data feeding (SURVEY §2.C "TPU-native plan").
 from epipolarpose_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    pod_sync,
     replicated,
     shard_batch,
     shard_batch_local,

@@ -126,3 +126,29 @@ def shard_batch_local(batch: dict, mesh: Mesh,
             NamedSharding(mesh, P()), x, x.shape)
 
     return jax.tree_util.tree_map_with_path(put, batch)
+
+
+def pod_sync(name: str, timeout_s: float = 600.0) -> None:
+    """Align all pod processes at a named coordination-service barrier.
+
+    XLA:CPU's Gloo communicator init exchanges rendezvous keys through the
+    distributed KV store with a HARD ~30 s timeout per get, so if one
+    process reaches a program's first collective >30 s before its peer
+    (cold-vs-warm compile cache, loader skew, host contention) the early
+    one dies with ``Gloo context initialization failed: DEADLINE_EXCEEDED
+    GetKeyValue()`` (measured r5, tests/test_multihost.py under CPU load).
+    TPU pods don't need this (ICI rendezvous rides the same coordination
+    service with configurable deadlines), but CPU-backend pod tests and
+    heterogeneous-start pods do: call it right before the first execution
+    of each freshly-compiled collective program. The barrier uses the
+    coordination service directly — no collectives, so the timeout is
+    whatever you pass, not Gloo's 30 s. No-op when not distributed.
+    """
+    import jax
+
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None or jax.process_count() <= 1:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

@@ -22,12 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: identical HLO across tests/runs compiles
-# once. Repo-local (gitignored, NOT committed: XLA:CPU AOT entries encode
-# the compile machine's feature set — loading entries from another machine
-# warns about SIGILL risk) so it survives /tmp wipes between suite runs.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache", "tests")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
+# once. Repo-local (gitignored, NOT committed) and keyed by a CPU-feature
+# fingerprint: XLA:CPU AOT entries encode the compile machine's feature
+# set, and loading another machine's entries can SIGILL a process
+# (observed r5: killed a pod worker mid-collective). See util.py.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from util import test_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", test_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

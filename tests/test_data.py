@@ -108,6 +108,35 @@ def test_multiview_skeleton_mode_structured():
     assert np.linalg.norm(poses[0] - poses[1]) > 100.0
 
 
+def test_multiview_depth_cue_rendering():
+    """depth_cue>0 renders nearer joints with larger blobs (perspective
+    size cue, sigma ∝ (z_mean/z)^gamma) and depth_cue=0 keeps the
+    constant-sigma render — the observability knob behind the SS
+    dose-response experiment (docs/SS_TEACHER.md)."""
+    from epipolarpose_tpu.data.synthetic import _render_blobs
+    cfg = config
+    cfg.MODEL.NUM_JOINTS = 17
+    kw = dict(num_frames=2, pose_mode="skeleton", image_shape=(64, 64))
+    ds0 = SyntheticMultiviewDataset(cfg, depth_cue=0.0, **kw)
+    ds1 = SyntheticMultiviewDataset(cfg, depth_cue=1.0, **kw)
+    rec = ds1.records[0]
+    size = ds1.image_shape[0] * 4
+    base = float(rec.scale[0] * 200 / 40)
+    z = rec.joints_3d[:, 2]
+    assert z.min() > 0 and z.max() / z.min() > 1.01   # real depth spread
+    expect = _render_blobs(rec.joints, (size, size), 17,
+                           blob_sigma=base * (z.mean() / z))
+    got = ds1._read_image(rec.image)
+    np.testing.assert_array_equal(got, (expect * 255).astype(np.uint8))
+    # cue off reproduces the constant-sigma render; cue on differs
+    flat = _render_blobs(rec.joints, (size, size), 17, blob_sigma=base)
+    np.testing.assert_array_equal(ds0._read_image(rec.image),
+                                  (flat * 255).astype(np.uint8))
+    assert (got != (flat * 255).astype(np.uint8)).any()
+    # labels are unchanged: the cue alters appearance only
+    np.testing.assert_array_equal(rec.joints, ds0.records[0].joints)
+
+
 def test_mpii_file_roundtrip(tmp_path):
     cfg = config
     write_synthetic_mpii(str(tmp_path), cfg, num_samples=4)

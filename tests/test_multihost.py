@@ -32,7 +32,12 @@ if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{{port}}",
-                               num_processes=2, process_id=pid)
+                               num_processes=2, process_id=pid,
+                               # a loaded 1-core host can hold one peer in
+                               # a compile for minutes; don't let the
+                               # shutdown/heartbeat barriers give up first
+                               shutdown_timeout_seconds=900,
+                               heartbeat_timeout_seconds=300)
     assert jax.process_count() == 2
     assert jax.device_count() == 4          # 2 local per process
     import numpy as np
@@ -40,7 +45,8 @@ if __name__ == "__main__":
     from epipolarpose_tpu.core import create_train_state, make_train_step
     from epipolarpose_tpu.data import SyntheticPoseDataset, epoch_loader
     from epipolarpose_tpu.models import get_model
-    from epipolarpose_tpu.parallel import make_mesh, shard_batch_local
+    from epipolarpose_tpu.parallel import (make_mesh, pod_sync,
+                                           shard_batch_local)
     import functools
 
     cfg.MODEL.NAME = "pose_resnet"
@@ -64,8 +70,14 @@ if __name__ == "__main__":
     place = functools.partial(shard_batch_local, mesh=mesh)
     loader = epoch_loader(ds, 8, epoch=0, prefetch=1, sharding=place)
     losses = []
-    for batch in loader:
+    for i, batch in enumerate(loader):
         assert batch["input"].shape[0] == 8           # GLOBAL batch
+        if i == 0:
+            # align peers before each freshly-compiled program's FIRST
+            # collective: Gloo context init has a hard ~30 s KV timeout
+            # and compile/loader skew under host load exceeds it
+            # (see parallel.pod_sync; measured r5 under CPU load)
+            pod_sync("first-train-step", timeout_s=900)
         state, m = step(state, batch)
         losses.append(float(np.asarray(m["loss"])))
     # pod validate(): host-sharded loader + process_allgather fetch path
@@ -75,6 +87,7 @@ if __name__ == "__main__":
     estep = make_eval_step(cfg, model, mesh=mesh)
     vloader = epoch_loader(ds_val, 8, epoch=0, is_train=False,
                            prefetch=1, sharding=place)
+    pod_sync("first-eval-step", timeout_s=900)
     name_values, perf = validate(cfg, vloader, ds_val, state, estep)
     if pid == 0:
         print("POD-LOSSES", " ".join(f"{{l:.8f}}" for l in losses))
@@ -114,9 +127,16 @@ if __name__ == "__main__":
     b.pop("joints_3d", None)
     b = shard_batch_local(b, mesh)
     assert b["input"].shape[0] == 4            # GLOBAL group count
+    pod_sync("first-ss-step", timeout_s=900)
     _, m3 = sstep(state3, b)
+    # BOTH processes block on the fetch (symmetric): if only pid 0
+    # fetched, pid 1 would dispatch async and reach the shutdown barrier
+    # a full SS-compile-and-execute ahead of pid 0 — on a loaded 1-core
+    # host that gap exceeds the coordination-service barrier timeout and
+    # kills pid 0 MID-FETCH (measured: the r5 suite run's failure mode)
+    ss_loss = float(np.asarray(m3["loss"]))
     if pid == 0:
-        print("POD-SS-LOSS", f"{{float(np.asarray(m3['loss'])):.8f}}")
+        print("POD-SS-LOSS", f"{{ss_loss:.8f}}")
     # All assertions passed: say so BEFORE the shutdown barrier, which can
     # time out (DEADLINE_EXCEEDED) when a loaded host delays one peer past
     # the coordination-service deadline. A barrier miss after this sentinel
@@ -154,6 +174,13 @@ _TEARDOWN_FLAKE = ("DEADLINE_EXCEEDED", "barrier", "heartbeat",
 # a slow bind) is a LAUNCH race — retry once with a fresh port
 _LAUNCH_RACE = ("address already in use", "failed to bind",
                 "unavailable", "failed to connect", "connection refused")
+
+
+def test_pod_sync_noop_single_process():
+    """pod_sync is a no-op without jax.distributed — safe to call from
+    single-process code paths unconditionally."""
+    from epipolarpose_tpu.parallel import pod_sync
+    pod_sync("anything", timeout_s=1)
 
 
 @pytest.mark.slow

@@ -118,6 +118,14 @@ def _student_losses(cfg, ds, teacher, detect_fn=None, n_groups=4,
 # tests below (~500 s on a 1-core CPU box) and both need the IDENTICAL
 # artifact — train it once per module (VERDICT r4 weak #3: the two tests
 # were 30% of the 52-min suite, re-training the same teacher twice).
+#
+# ORDERING HAZARD: module-scoped fixtures are instantiated BEFORE the
+# function-scoped autouse reset_config fixture, which then WIPES any
+# global-config mutation made here. The fixture therefore returns only
+# the config-independent artifacts (dataset + trained teacher); each
+# test re-applies the identical _ss_cfg() mutations in its own body
+# (after the reset) so the global config the library reads matches the
+# config the artifacts were built under.
 @pytest.fixture(scope="module")
 def shared():
     cfg = _ss_cfg()
@@ -125,12 +133,14 @@ def shared():
     ds = SyntheticMultiviewDataset(cfg, num_frames=8, is_train=False,
                                    image_shape=(64, 64))
     trained, acc = _train_teacher(_teacher_cfg(cfg), ds, steps=150)
-    return cfg, ds, trained, acc
+    return ds, trained, acc
 
 
 @pytest.mark.slow
 def test_imperfect_teacher_lands_between_extremes(shared):
-    cfg, ds, trained, acc = shared
+    ds, trained, acc = shared
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0
     random_t = Teacher(trained.model, *init_pose_net(
         trained.model, jax.random.PRNGKey(7), (64, 64)))
 
@@ -174,7 +184,9 @@ def test_conf_gate_trades_coverage_for_quality(shared):
     """SS_CONF_MIN sweep {0, 0.05, 0.2} with a trained imperfect teacher:
     raising the gate must monotonically shrink coverage and must not
     worsen the surviving pseudo-GT (table: docs/SS_TEACHER.md)."""
-    cfg, ds, trained, _ = shared
+    ds, trained, _ = shared
+    cfg = _ss_cfg()
+    cfg.TPU.SS_CONF_MIN = -1.0
     _, conf, err = _pseudo_gt_mpjpe(cfg, ds, trained)
     min_conf = conf.min(axis=1)                   # (G, J) gate statistic
     rows = []

@@ -54,6 +54,12 @@ def parse_args():
                    help="eval set: held-out frames, the training poses "
                    "(clean crops), or both curves (decomposes the gap to "
                    "the floor into optimization vs generalization)")
+    p.add_argument("--depth-cue", type=float, default=0.0,
+                   help="perspective size-cue exponent for the synthetic "
+                   "renderer (0=off/constant blob size, 1=true "
+                   "perspective, >1 amplified). Makes per-joint monocular "
+                   "depth observable from appearance — the dose-response "
+                   "experiment behind SS_TEACHER.md's residual analysis")
     return p.parse_args()
 
 
@@ -90,7 +96,8 @@ def make_teacher_cfg(cfg):
 
 def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
         eval_every, log=print, detector="teacher", noise_px=2.0,
-        merge_backbone=True, eval_on="val", pose_mode="uniform"):
+        merge_backbone=True, eval_on="val", pose_mode="uniform",
+        depth_cue=0.0):
     """``detector='teacher'``: the chip experiment — pretrain a real 2D
     teacher, freeze it, SS loop through it. ``detector='gt_noise'``: skip
     the teacher; noisy GT detections ride in the batch (``det_src`` — the
@@ -119,11 +126,12 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
     image_shape = tuple(int(v) for v in cfg.MODEL.IMAGE_SIZE)
     ds = SyntheticMultiviewDataset(cfg, num_frames=frames, is_train=True,
                                    image_shape=image_shape, seed=0,
-                                   pose_mode=pose_mode)
+                                   pose_mode=pose_mode, depth_cue=depth_cue)
     ds_val = SyntheticMultiviewDataset(
         cfg, num_frames=frames if eval_on == "train" else val_frames,
         is_train=False, image_shape=image_shape,
-        seed=0 if eval_on == "train" else 1, pose_mode=pose_mode)
+        seed=0 if eval_on == "train" else 1, pose_mode=pose_mode,
+        depth_cue=depth_cue)
     # eval_on='both': a second eval set over the TRAINING poses (clean
     # crops, same seed-0 bank) decomposes the gap to the pseudo-GT floor —
     # train-MPJPE gap = optimization/representation, (val − train) gap =
@@ -132,7 +140,8 @@ def run(cfg, frames, val_frames, groups, teacher_steps, ss_steps,
     if eval_on == "both":
         ds_tr = SyntheticMultiviewDataset(
             cfg, num_frames=min(frames, 64), is_train=False,
-            image_shape=image_shape, seed=0, pose_mode=pose_mode)
+            image_shape=image_shape, seed=0, pose_mode=pose_mode,
+            depth_cue=depth_cue)
     J = int(cfg.MODEL.NUM_JOINTS)
     rng = np.random.default_rng(11)
 
@@ -306,6 +315,7 @@ def main():
         v = getattr(args, k if k != "val_frames" else "val_frames")
         if v is not None:
             preset[k] = v
+    preset["depth_cue"] = args.depth_cue
     if args.preset == "ci":
         config.MODEL.EXTRA.NUM_LAYERS = 18
         config.MODEL.IMAGE_SIZE = [64, 64]
